@@ -1,0 +1,105 @@
+"""Connected components via alternating large-star/small-star DataFrame joins.
+
+The reference stops at candidate ids + match counts (ssi.h); clustering is
+the thin layer the north rule adds.  We use the Kiveris et al. (2014)
+"Connected Components in MapReduce" alternating algorithm, which converges in
+O(log n) rounds even on giant near-clique components, expressed purely as
+groupBy + join (no GraphX/RDD, per north rule).
+
+Each round is two phases; both avoid collect_list on neighborhoods (a
+boilerplate component's min-node can have degree ~ component size, which
+would OOM a collected list):
+
+  large-star: m(u) = min over N(u) ∪ {u};  emit (v, m(u)) for v in N(u), v > u
+  small-star: over edges oriented low<-high: m(u) = min(N<(u) ∪ {u});
+              emit (v, m(u)) for v in N<(u) ∪ {u}
+
+Convergence = edge multiset stable (checked with an order-insensitive
+count+hash signature).  Lineage is cut every iteration with localCheckpoint
+(a cluster deployment would checkpoint to the Iceberg stage table instead,
+see sources/checkpoints.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    e2 = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = e2.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    return (
+        e2.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient: u keeps its smaller neighbors
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        e.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> tuple[DataFrame, int]:
+    """pairs (a, b) -> (node, cluster_id = component min), #iterations.
+
+    Nodes not present in `pairs` are their own singletons (callers join the
+    result back with a coalesce to node itself).
+    """
+    # persist+count (not localCheckpoint: Spark 4.1 cannot localCheckpoint a
+    # plan whose lineage contains PythonUDF nodes, and upstream edge sources
+    # include pandas-UDF stages).  Each iteration unpersists the previous.
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    edges.count()
+    prev_sig = None
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
+        new_edges = _small_star(_large_star(edges)).persist()
+        new_edges.count()
+        edges.unpersist()
+        edges = new_edges
+        sig = _signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # After convergence, edges form stars (node -> component min).
+    labels = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .union(edges.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")))
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return labels, iters

@@ -1,0 +1,183 @@
+"""End-to-end near-duplicate detection + clustering pipeline (the north rule).
+
+Stages (each checkpointable, each with counters):
+
+  conv       transcripts -> one row per conversation (stable turn ordering,
+             full-text hash, sorted distinct shingle-hash array) — 1 shuffle
+  sig        one-perm MinHash registers from the shingle array (0 shuffles)
+             + optimal densification (pandas UDF over 1 row/conv)
+  exact      full-text-hash groups -> star edges (catches 0-shingle convs)
+  cands      LSH bands (rpr registers/band) -> capped buckets -> pairs
+  verify     MinHash pre-filter (j_est >= tau_pre) then EXACT shingle-set
+             Jaccard via array_intersect (conversations are bounded, so the
+             exact set fits the row) -> pairs with j >= tau
+  substr     winnowing fingerprints -> long-shared-substring pairs
+  cc         alternating large/small-star connected components
+  clusters   every conv labeled; non-dup convs are their own cluster
+
+Scale: candidate generation is the only superlinear risk; it is bounded by
+the deterministic bucket cap + AQE skew handling.  The MinHash pre-filter
+keeps the exact verification join linear in true-ish pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sketch_spark.operators import cc as cc_mod
+from sketch_spark.operators import lsh, minhash, suffix, transcripts
+from sketch_spark.sources.checkpoints import CheckpointManager
+
+
+@dataclass
+class DedupConfig:
+    shingle_n: int = 3
+    seed: int = 42
+    p: int = 7  # 2^p = 128 registers
+    rpr: int = 2  # registers per band -> m/rpr bands
+    bucket_cap: int = 64
+    tau_pre: float = 0.2  # MinHash candidate pre-filter
+    tau: float = 0.5  # exact-Jaccard acceptance threshold
+    substring_L: int = 200
+    substring_k: int = 50
+    enable_substring: bool = True
+
+    def config_hash(self) -> str:
+        return hashlib.sha256(
+            json.dumps(asdict(self), sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: DedupConfig | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or DedupConfig()
+        self.counters: dict[str, int] = {}
+        self.ckpt = CheckpointManager(
+            spark,
+            checkpoint_dir or "",
+            self.cfg.config_hash(),
+            enabled=checkpoint_dir is not None,
+        )
+
+    # -- stages ------------------------------------------------------------
+    def conv_stage(self, t: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        return self.ckpt.run(
+            "conv", lambda: transcripts.conv_table(t, cfg.shingle_n, cfg.seed)
+        )
+
+    def sig_stage(self, conv: DataFrame) -> DataFrame:
+        cfg = self.cfg
+
+        def build():
+            sig = minhash.one_perm_signature_from_array(
+                conv.select("conv_id", "shingles"), "shingles", "sig", cfg.p
+            ).select("conv_id", "sig")
+            return minhash.densify_signatures(sig, "sig", cfg.p)
+
+        return self.ckpt.run("sig", build)
+
+    def exact_stage(self, conv: DataFrame) -> DataFrame:
+        return self.ckpt.run("exact", lambda: transcripts.exact_dup_pairs(conv))
+
+    def cands_stage(self, sig: DataFrame) -> DataFrame:
+        cfg = self.cfg
+
+        def build():
+            bands = lsh.band_keys(sig, "sig", "conv_id", cfg.rpr, 1 << cfg.p)
+            return lsh.candidate_pairs(bands, "conv_id", cfg.bucket_cap)
+
+        return self.ckpt.run("cands", build)
+
+    def verify_stage(self, cands: DataFrame, sig: DataFrame, conv: DataFrame) -> DataFrame:
+        cfg = self.cfg
+
+        def build():
+            pre = lsh.verify_pairs(
+                cands, sig, "conv_id", "sig", b_bits=64 - cfg.p, tau=cfg.tau_pre
+            )
+            sa = conv.select(
+                F.col("conv_id").alias("a"), F.col("shingles").alias("_sha")
+            )
+            sb = conv.select(
+                F.col("conv_id").alias("b"), F.col("shingles").alias("_shb")
+            )
+            inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+            union = F.size(F.array_union("_sha", "_shb")).cast("double")
+            j = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+            return (
+                pre.join(sa, "a")
+                .join(sb, "b")
+                .withColumn("j_exact", j)
+                .where(F.col("j_exact") >= cfg.tau)
+                .select("a", "b", "n_bands", "j_est", "j_exact")
+            )
+
+        return self.ckpt.run("verify", build)
+
+    def substr_stage(self, conv: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        return self.ckpt.run(
+            "substr",
+            lambda: suffix.substring_pairs(
+                conv, "full_text", "conv_id", cfg.substring_L, cfg.substring_k
+            ),
+        )
+
+    # -- full run ----------------------------------------------------------
+    def run(self, t: DataFrame) -> dict[str, DataFrame]:
+        conv = self.conv_stage(t)
+        sig = self.sig_stage(conv)
+        exact = self.exact_stage(conv)
+        cands = self.cands_stage(sig)
+        verified = self.verify_stage(cands, sig, conv)
+        edges = exact.select("a", "b").union(verified.select("a", "b"))
+        if self.cfg.enable_substring:
+            substr = self.substr_stage(conv)
+            edges = edges.union(substr.select("a", "b"))
+        else:
+            substr = None
+
+        labels, iters = cc_mod.connected_components(edges)
+        clusters = (
+            conv.select("conv_id")
+            .join(labels.withColumnRenamed("node", "conv_id"), "conv_id", "left")
+            .select(
+                "conv_id",
+                F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id"),
+            )
+        )
+        canonical = clusters.select(
+            "conv_id", "cluster_id", F.col("cluster_id").alias("canonical_conv_id")
+        )
+
+        # lineage counters (north rule §7.6)
+        self.counters = {
+            "convs": conv.count(),
+            "exact_pairs": exact.count(),
+            "candidate_pairs": cands.count(),
+            "verified_pairs": verified.count(),
+            "substring_pairs": substr.count() if substr is not None else 0,
+            "cc_iterations": iters,
+            "clusters": canonical.select("cluster_id").distinct().count(),
+        }
+        return {
+            "conv": conv,
+            "sig": sig,
+            "exact": exact,
+            "cands": cands,
+            "verified": verified,
+            "substr": substr,
+            "clusters": canonical,
+        }

@@ -1,0 +1,153 @@
+"""LSH banding + candidate-pair generation.
+
+The reference's SetSketchIndex (ssi.h:37-102) is a list of in-memory hash
+tables band_hash -> [ids].  In Spark the "hash table" is realized by a
+shuffle: explode (band, key) rows and group on them; candidate retrieval
+(ssi.h:385-444) becomes pair emission within each (band, key) bucket.
+
+Scale design (the part the reference does with mutexes and we do with
+partitioning):
+  * band keys are computed JVM-side: xxhash64 over the band's register slice
+    (band boundaries match the reference layout — contiguous rpr-register
+    slices, ssi.h:360-384; the exact key hash is internal, only collisions
+    matter).
+  * ONE shuffle builds all buckets: groupBy(band, key) with collect_list.
+    Buckets are capped at `bucket_cap` ids (deterministic: sorted by conv_id,
+    reference-style maxcand early stop, ssi.h:387-444); dropped ids are
+    counted, not silently lost.  A capped bucket of a boilerplate template
+    cannot explode into cap^2 >> 10^6 pairs — this plus AQE skew-join is the
+    hot-bucket strategy (SURVEY.md §4).
+  * pairs are emitted inside the same aggregation via a nested transform
+    (no self-join, no second scan), then deduped by groupBy(a, b) which also
+    yields the match count n_bands (the reference's per-id hit count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_RPR = 4  # registers per band  (ssi.h pow2 ladder member)
+
+
+def band_keys(
+    sig_df: DataFrame,
+    sig_col: str = "sig",
+    id_col: str = "conv_id",
+    rpr: int = DEFAULT_RPR,
+    m: int = 128,
+) -> DataFrame:
+    """signatures -> (id, band, key) rows; m/rpr bands of rpr contiguous
+    registers each (reference ssi.h:85-102 layout)."""
+    n_bands = m // rpr
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.xxhash64(b, F.slice(F.col(sig_col), b * rpr + 1, rpr)),
+    )
+    return (
+        sig_df.where(F.col(sig_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(keys).alias("band", "key"))
+    )
+
+
+def candidate_pairs(
+    bands_df: DataFrame,
+    id_col: str = "conv_id",
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """(id, band, key) -> distinct candidate pairs (a, b, n_bands) with a < b.
+
+    One shuffle on (band, key); buckets deterministically truncated to
+    bucket_cap ids (ordered by id) with the loss observable via
+    `bucket_census`.  Pair emission is a JVM nested transform — no
+    per-bucket Python, no self-join.
+    """
+    buckets = (
+        bands_df.groupBy("band", "key")
+        .agg(F.slice(F.sort_array(F.collect_set(F.col(id_col))), 1, bucket_cap + 1).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.slice(F.col("ids"), 1, bucket_cap).alias("ids"))
+    )
+    # nested pair expansion: for i<j emit struct(ids[i], ids[j])
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ids") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("ids")),
+                        lambda j: F.struct(
+                            F.element_at(F.col("ids"), i).alias("a"),
+                            F.element_at(F.col("ids"), j).alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_bands"))
+
+
+def bucket_census(bands_df: DataFrame, id_col: str = "conv_id", bucket_cap: int = 64) -> dict:
+    """Counters for the lineage/metrics contract: bucket-size histogram,
+    #buckets over cap, #ids dropped by the cap."""
+    sizes = bands_df.groupBy("band", "key").agg(
+        F.count_distinct(F.col(id_col)).alias("sz")
+    )
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("sz") > bucket_cap, 1).otherwise(0)).alias("buckets_over_cap"),
+        F.sum(
+            F.when(F.col("sz") > bucket_cap, F.col("sz") - bucket_cap).otherwise(0)
+        ).alias("ids_dropped"),
+        F.max("sz").alias("max_bucket"),
+    ).collect()[0]
+    return {k: (0 if row[k] is None else int(row[k])) for k in row.asDict()}
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    sig_df: DataFrame,
+    id_col: str = "conv_id",
+    sig_col: str = "sig",
+    b_bits: int = 57,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Join signatures onto candidate pairs and compute the collision-
+    corrected Jaccard estimate (reference equal-register fraction,
+    count_eq.h:41-58, + correction bbmh.h:1567-1575).
+
+    Registers here keep 57 value bits, so the collision term 2^-57 is
+    negligible; b_bits is exposed for parity tests with b-bit truncation.
+    Entirely JVM-side: zip_with + filter + size inside codegen.
+    """
+    sa = sig_df.select(
+        F.col(id_col).alias("a"), F.col(sig_col).alias("_siga")
+    )
+    sb = sig_df.select(
+        F.col(id_col).alias("b"), F.col(sig_col).alias("_sigb")
+    )
+    m = F.size("_siga")
+    n_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("_siga"), F.col("_sigb"), lambda x, y: x.eqNullSafe(y)),
+            lambda v: v,
+        )
+    )
+    cb = 2.0 ** (-b_bits)
+    frac = n_eq.cast("double") / m.cast("double")
+    j_est = F.greatest(
+        (frac - F.lit(cb)) / F.lit(1.0 - cb), F.lit(0.0)
+    )
+    out = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            "n_bands",
+            n_eq.alias("n_eq"),
+            j_est.alias("j_est"),
+        )
+    )
+    return out.where(F.col("j_est") >= F.lit(tau))

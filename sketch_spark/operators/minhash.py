@@ -1,0 +1,285 @@
+"""MinHash signature builders — the core dedup aggregates.
+
+Re-expresses the reference's signature builders as Spark aggregations:
+
+  * one-permutation MinHash (reference bbmh.h:894-969): bucket = top p bits,
+    register = min of remaining bits, ONE hash pass per element.  Spark plan:
+    groupBy(conv_id, bucket).min(value)  ->  groupBy(conv_id) assemble array.
+    Both aggregations are partial+final hash aggs (map-side combine), the
+    Spark equivalent of the reference's commutative `operator+=` monoid merge
+    (bbmh.h:1092-1137).  O(1) work per input row, like the C++.
+  * optimal densification (reference bbmh.h:31-56): deterministic fill of
+    empty registers by hashed probing of non-empty ones — a vectorized
+    pandas UDF over the (one row per conv) signature table, NOT per element.
+  * bottom-k / KMV (reference mh.h:99-256, mh.h:1179-1257): k smallest
+    distinct hashes per group, via sort_array(collect_set)[0:k] (conversations
+    are bounded-size groups, so collect_set per group is safe; for unbounded
+    groups use the windowed variant `bottom_k_windowed`).
+
+Scale notes: every stage here is a single shuffle on conv_id (or
+(conv_id, bucket)) with map-side partial aggregation; no Python touches the
+per-shingle rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from sketch_spark.functions.hashing import wanghash_np
+
+# Pinned reference config (SURVEY.md §7.2): p=7 -> m=128 registers.
+DEFAULT_P = 7
+DEFAULT_M = 1 << DEFAULT_P
+
+# Register value keeps the low 64-p bits of the hash; with p=7 that is 57
+# bits, always non-negative in a signed long.
+def _value_bits(p: int) -> int:
+    return 64 - p
+
+
+def one_perm_signature(
+    shingles: DataFrame,
+    group_col: str = "conv_id",
+    hash_col: str = "h",
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """(group, h) rows -> (group, sig array<long> with nulls, n_shingles).
+
+    Register i holds min(h & mask) over hashes whose top-p bits == i
+    (reference bbmh.h:959-969; here the hash is already well-mixed xxhash64,
+    playing the role of the reference's WangHash element mix).
+    Null register == empty bucket (densify before LSH).
+    """
+    m = 1 << p
+    vb = _value_bits(p)
+    mask = (1 << vb) - 1
+    g = F.col(group_col)
+    bucket = F.shiftrightunsigned(F.col(hash_col), vb).alias("bucket")
+    value = F.col(hash_col).bitwiseAND(F.lit(mask)).alias("value")
+
+    per_bucket = (
+        shingles.select(g.alias("_g"), bucket, value)
+        .groupBy("_g", "bucket")
+        .agg(F.min("value").alias("mv"), F.count(F.lit(1)).alias("n"))
+    )
+    sig = (
+        per_bucket.groupBy("_g")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("bucket", "mv"))).alias("mm"),
+            F.sum("n").alias("n_shingles"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda i: F.element_at(F.col("mm"), i.cast("long")),
+            ).alias("sig"),
+            F.col("n_shingles"),
+        )
+    )
+    return sig
+
+
+def one_perm_signature_from_array(
+    df: DataFrame,
+    arr_col: str = "shingles",
+    out_col: str = "sig",
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """Signature computed from a per-row shingle-hash array — ZERO shuffle.
+
+    When the upstream stage already aggregated one array of shingle hashes
+    per conversation (operators/transcripts.py does it in its single
+    groupBy), the one-perm registers are a pure projection: register i =
+    min(h & mask) over hashes with top-p bits == i.  O(m * |arr|) JVM work
+    per row inside codegen; no exchange at all.
+    """
+    m = 1 << p
+    vb = _value_bits(p)
+    mask = (1 << vb) - 1
+    arr = F.col(arr_col)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.filter(
+                    arr,
+                    lambda h: F.shiftrightunsigned(h, vb) == i.cast("long"),
+                ),
+                lambda h: h.bitwiseAND(F.lit(mask)),
+            )
+        ),
+    )
+    return df.withColumn(out_col, F.when(F.size(arr) > 0, sig))
+
+
+def densify_batch(mat: np.ndarray, empty: np.ndarray, m: int) -> np.ndarray:
+    """Vectorized optimal densification over a whole Arrow batch at once.
+
+    mat: (n, m) float64 register matrix with NaN for empty registers;
+    empty: boolean mask.  For each empty (row, reg) pair, probe donor
+    register j = WangHash(reg * GOLDEN + attempt) % m until the donor is
+    non-empty in that row (reference bbmh.h:31-56 semantics: deterministic,
+    depends only on the occupied pattern + values, so equal sets yield equal
+    densified signatures).  All (row, reg) pairs advance together.
+    """
+    golden = np.uint64(0x9E3779B97F4A7C15)
+    vals = mat.copy()
+    rows, cols = np.nonzero(empty)
+    attempt = np.uint64(1)
+    while rows.size:
+        j = (wanghash_np(cols.astype(np.uint64) * golden + attempt) % np.uint64(m)).astype(
+            np.int64
+        )
+        ok = ~empty[rows, j]
+        vals[rows[ok], cols[ok]] = mat[rows[ok], j[ok]]
+        rows, cols = rows[~ok], cols[~ok]
+        attempt += np.uint64(1)
+    return vals
+
+
+def densify_signatures(
+    sig_df: DataFrame, sig_col: str = "sig", p: int = DEFAULT_P
+) -> DataFrame:
+    """Optimal-densification fill of empty (null) registers — mapInPandas
+    (a dedicated plan node: immune to projection inlining, and lets us
+    densify the whole Arrow batch as one numpy matrix).  One row per
+    conversation, so this is off the per-shingle hot path."""
+    m = 1 << p
+    schema = sig_df.schema
+
+    def gen(batches):
+        for pdf in batches:
+            col = pdf[sig_col]
+            live = col.notna()
+            if live.any():
+                sub = col[live]
+                mat = np.array(
+                    [[np.nan if v is None else float(v) for v in regs] for regs in sub],
+                    dtype=np.float64,
+                )
+                empty = np.isnan(mat)
+                all_empty = empty.all(axis=1)
+                dense = densify_batch(mat, empty, m)
+                out = []
+                for r in range(dense.shape[0]):
+                    if all_empty[r]:
+                        out.append(None)
+                    else:
+                        out.append([int(v) for v in dense[r]])
+                col = col.copy()
+                col.loc[live] = pd.Series(out, index=sub.index, dtype=object)
+                pdf[sig_col] = col
+            yield pdf
+
+    return sig_df.mapInPandas(gen, schema=schema)
+
+
+def one_perm_cardinality_col(sig: Column, p: int = DEFAULT_P) -> Column:
+    """Harmonic-mean cardinality estimate from one-perm registers
+    (reference bbmh.h:1047-1090, HARMONIC_MEAN default).
+
+    Registers are uniform in [0, 2^vb); E[min of n uniforms] ~ range/(n+1),
+    so n_i ~ range/reg - 1 per register; harmonic combine over m registers.
+    """
+    m = 1 << p
+    rng = float(1 << _value_bits(p))
+    inv_sum = F.aggregate(
+        sig,
+        F.lit(0.0),
+        lambda acc, v: acc
+        + F.when(v.isNull(), F.lit(0.0)).otherwise(
+            (v.cast("double") + F.lit(1.0)) / F.lit(rng)
+        ),
+    )
+    return F.when(inv_sum > 0, F.lit(float(m * m)) / inv_sum - F.lit(float(m))).otherwise(
+        F.lit(0.0)
+    )
+
+
+def bottom_k(
+    shingles: DataFrame,
+    k: int,
+    group_col: str = "conv_id",
+    hash_col: str = "h",
+) -> DataFrame:
+    """(group, h) -> (group, bottomk sorted array of k smallest DISTINCT
+    hashes, n_distinct) — reference RangeMinHash/BottomKHasher (mh.h:99-256).
+
+    collect_set per group is safe for bounded groups (conversations);
+    partial aggregation dedups map-side before the shuffle.
+    """
+    return (
+        shingles.groupBy(F.col(group_col))
+        .agg(F.collect_set(F.col(hash_col)).alias("hs"))
+        .select(
+            group_col,
+            F.slice(F.array_sort(F.col("hs")), 1, k).alias("bottomk"),
+            F.size(F.col("hs")).alias("n_distinct"),
+        )
+    )
+
+
+def bottom_k_windowed(
+    shingles: DataFrame,
+    k: int,
+    group_col: str = "conv_id",
+    hash_col: str = "h",
+) -> DataFrame:
+    """Unbounded-group-safe bottom-k: dedup + window row_number <= k.
+    Two shuffles but never materializes a whole group in memory."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(hash_col)
+    return (
+        shingles.select(group_col, hash_col)
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(group_col)
+        .agg(
+            F.array_sort(F.collect_list(hash_col)).alias("bottomk"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .drop("_n")
+    )
+
+
+def kmv_cardinality_col(bottomk: Column, k: int, hash_bits: int = 64) -> Column:
+    """KMV estimate (k-1) * range / kth_min — reference mh.h:359-362.
+
+    Hashes are signed xxhash64 output spanning the full int64 range; shift to
+    unsigned rank space by adding 2^63.
+    """
+    # F.get is 0-indexed and null-safe out of bounds (ANSI-proof).
+    kth = F.get(bottomk, k - 1).cast("double") + F.lit(float(2 ** 63))
+    rng = float(2 ** hash_bits)
+    return F.when(
+        F.size(bottomk) >= k, F.lit(float(k - 1)) * F.lit(rng) / kth
+    ).otherwise(F.size(bottomk).cast("double"))
+
+
+def bottomk_jaccard_py(a: list[int], b: list[int], k: int) -> float:
+    """First-k-of-union bottom-k Jaccard walk (reference mh.h:201-220):
+    among the k smallest values of union(A, B), count those present in both.
+    NOT |A∩B|/k.  Python oracle + small-data verifier."""
+    union = sorted(set(a) | set(b))[:k]
+    sa, sb = set(a), set(b)
+    shared = sum(1 for v in union if v in sa and v in sb)
+    denom = min(k, len(union)) or 1
+    return shared / denom
+
+
+def bottomk_jaccard_col(a: Column, b: Column, k: int) -> Column:
+    """Same first-k-of-union walk as a JVM expression: take the k smallest of
+    the union, intersect with both arrays."""
+    union_k = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+    shared = F.size(F.array_intersect(F.array_intersect(union_k, a), b))
+    denom = F.least(F.lit(k), F.size(union_k))
+    return F.when(denom > 0, shared.cast("double") / denom.cast("double")).otherwise(
+        F.lit(0.0)
+    )

@@ -1,0 +1,205 @@
+"""Exact long-shared-substring pass (winnowing fingerprints).
+
+Catches duplicate pairs MinHash misses: two otherwise-unrelated conversations
+sharing one verbatim span >= L chars (FIXTURES.md family
+"long-shared-substring").  Not in the reference (SURVEY.md intro); from the
+dedup literature: Schleimer/Wilkerson/Aiken winnowing (SIGMOD'03).
+
+Guarantee: with k-gram rolling hashes and a winnowing window of
+w = L - k + 1, any shared substring of length >= L contributes at least one
+common selected fingerprint.  So fingerprint equi-join ⊇ all true pairs;
+an exact extension check around the matched positions removes false
+positives (rolling-hash collisions or sub-L repeats).
+
+Spark shape:
+  conv(full_text) -> mapInPandas (numpy rolling hash + sliding-window argmin)
+  -> (conv_id, fp, pos) -> self-equi-join on fp (the shuffle IS the index)
+  -> groupBy pair, keep witness positions -> exact verify via pandas UDF
+  over the two texts (bounded O(L) extension around the witness).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_L = 200  # minimum shared-substring length to detect
+DEFAULT_K = 50  # k-gram size for rolling hashes
+
+_B = np.uint64(1000003)
+
+
+# B is odd, hence invertible mod 2^64; Newton iteration for the inverse.
+def _inv_u64(b: np.uint64) -> np.uint64:
+    x = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for _ in range(6):
+            x = x * (np.uint64(2) - b * x)
+    return x
+
+
+_BINV = _inv_u64(_B)
+
+
+def _kgram_hashes(s: bytes, k: int) -> np.ndarray:
+    """Rolling polynomial hashes (mod 2^64) of all k-grams of s, fully
+    vectorized:  H[i] = B^(k-1) * B^i * (P[i+k] - P[i])  where
+    P[t] = sum_{j<t} a[j] * Binv^j  (B odd => invertible mod 2^64)."""
+    a = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
+    n = a.size - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        binv_pows = np.empty(a.size, dtype=np.uint64)
+        binv_pows[0] = np.uint64(1)
+        np.cumprod(np.full(a.size - 1, _BINV, dtype=np.uint64), out=binv_pows[1:])
+        prefix = np.zeros(a.size + 1, dtype=np.uint64)
+        np.cumsum(a * binv_pows, out=prefix[1:])
+        b_pows = np.empty(n, dtype=np.uint64)
+        b_pows[0] = np.uint64(1)
+        if n > 1:
+            np.cumprod(np.full(n - 1, _B, dtype=np.uint64), out=b_pows[1:])
+        bk1 = np.uint64(1)
+        for _ in range(k - 1):
+            bk1 = bk1 * _B
+        h = (prefix[k : k + n] - prefix[:n]) * b_pows * bk1
+    return h
+
+
+def winnow_fingerprints(
+    conv: DataFrame,
+    text_col: str = "full_text",
+    id_col: str = "conv_id",
+    L: int = DEFAULT_L,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """-> (conv_id, fp long, pos int): winnowed k-gram fingerprints."""
+    w = L - k + 1
+    assert w >= 1
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps, poss = [], [], []
+            for cid, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                h = _kgram_hashes(text.encode("utf-8", "surrogatepass"), k)
+                if h.size == 0:
+                    continue
+                if h.size <= w:
+                    sel = np.array([int(np.argmin(h))])
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(h, w)
+                    sel = np.unique(np.argmin(win, axis=1) + np.arange(win.shape[0]))
+                ids.extend([cid] * len(sel))
+                fps.extend(h[sel].astype(np.int64).tolist())
+                poss.extend(sel.astype(np.int64).tolist())
+            yield pd.DataFrame({"conv_id": ids, "fp": fps, "pos": poss})
+
+    return conv.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        gen, schema=f"{id_col} string, fp long, pos int"
+    )
+
+
+def substring_candidate_pairs(fps: DataFrame, id_col: str = "conv_id") -> DataFrame:
+    """fingerprints -> candidate pairs with one witness position each side.
+
+    Equi-join on fp realized as groupBy(fp) + in-bucket pair expansion (same
+    pattern as LSH buckets; hot fingerprints capped deterministically)."""
+    cap = 32
+    buckets = (
+        fps.groupBy("fp")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct(id_col, "pos"))), 1, cap
+            ).alias("items")
+        )
+        .where(F.size("items") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("items") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("items")),
+                        lambda j: F.struct(
+                            F.element_at("items", i).getField(id_col).alias("a"),
+                            F.element_at("items", j).getField(id_col).alias("b"),
+                            F.element_at("items", i).getField("pos").alias("pos_a"),
+                            F.element_at("items", j).getField("pos").alias("pos_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b", "p.pos_a", "p.pos_b")
+    # keep up to 8 coherent witnesses per pair: (pos_a, pos_b) MUST come from
+    # the same fingerprint match or the extension check tests a bogus site.
+    return (
+        pairs.where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set(F.struct("pos_a", "pos_b"))), 1, 8
+            ).alias("witnesses")
+        )
+    )
+
+
+def verify_substring_pairs(
+    cands: DataFrame,
+    conv: DataFrame,
+    text_col: str = "full_text",
+    id_col: str = "conv_id",
+    L: int = DEFAULT_L,
+) -> DataFrame:
+    """Exact check: extend the fingerprint witness match to its maximal
+    common span; keep pairs with span >= L.  Bounded work per pair."""
+    ta = conv.select(F.col(id_col).alias("a"), F.col(text_col).alias("_ta"))
+    tb = conv.select(F.col(id_col).alias("b"), F.col(text_col).alias("_tb"))
+    joined = cands.join(ta, "a").join(tb, "b")
+
+    @F.pandas_udf("int")
+    def span_len(ta_s: pd.Series, tb_s: pd.Series, wit_s: pd.Series) -> pd.Series:
+        out = np.zeros(len(ta_s), dtype=np.int32)
+        for i, (sa, sb, wits) in enumerate(zip(ta_s, tb_s, wit_s)):
+            if sa is None or sb is None or wits is None:
+                continue
+            best = 0
+            na, nb = len(sa), len(sb)
+            for w in wits:
+                pa, pb = int(w["pos_a"]), int(w["pos_b"])
+                l = 0
+                while pa - l - 1 >= 0 and pb - l - 1 >= 0 and sa[pa - l - 1] == sb[pb - l - 1]:
+                    l += 1
+                r = 0
+                while pa + r < na and pb + r < nb and sa[pa + r] == sb[pb + r]:
+                    r += 1
+                best = max(best, l + r)
+                if best >= L:
+                    break
+            out[i] = best
+        return pd.Series(out)
+
+    return (
+        joined.withColumn("span", span_len("_ta", "_tb", "witnesses"))
+        .where(F.col("span") >= L)
+        .select("a", "b", "span")
+    )
+
+
+def substring_pairs(
+    conv: DataFrame,
+    text_col: str = "full_text",
+    id_col: str = "conv_id",
+    L: int = DEFAULT_L,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    fps = winnow_fingerprints(conv, text_col, id_col, L, k)
+    cands = substring_candidate_pairs(fps, id_col)
+    return verify_substring_pairs(cands, conv, text_col, id_col, L)

@@ -1,0 +1,70 @@
+"""Transcript-table operators: stable turn ordering + per-conversation
+shingling (the ingestion front of the dedup pipeline).
+
+Input schema (BASELINE.json input_hint):
+  transcripts(conv_id string, turn_idx int, role string, text string,
+              tool string, ts timestamp)
+
+Stable turn ordering = (turn_idx, ts, role) — the deterministic tie-break the
+per-turn text-equality invariant depends on (SURVEY.md §7.4).
+
+Shingles are turn-level n-grams: the texts of n consecutive turns joined with
+an \\x1e separator, hashed JVM-side with xxhash64 (the reference shingler
+hash_ngrams streams XXH3 over the concatenated items, util.cpp:47-68; same
+sliding-window semantics: L turns -> max(L-n+1, 0) shingles).
+
+Everything is ONE groupBy(conv_id): sort-by-struct + higher-order functions;
+no Python, no window function, no second scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1e"
+DEFAULT_N = 3
+DEFAULT_SEED = 42
+
+
+def conv_table(transcripts: DataFrame, n: int = DEFAULT_N, seed: int = DEFAULT_SEED) -> DataFrame:
+    """One row per conversation:
+      conv_id, n_turns, full_text (ordered, SEP-joined), full_hash,
+      shingles (sorted DISTINCT xxhash64 array), n_shingles (distinct).
+    """
+    turns = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "ts", "role", "text"))
+    )
+    agg = transcripts.groupBy("conv_id").agg(turns.alias("turns"))
+    texts = F.col("turns").getField("text")
+    n_turns = F.size("turns")
+    full_text = F.array_join(texts, SEP)
+    idx = F.sequence(F.lit(1), F.greatest(n_turns - F.lit(n - 1), F.lit(0)))
+    shingle_strs = F.when(n_turns < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(texts, i, n), SEP))
+    )
+    shingles = F.array_sort(
+        F.array_distinct(F.transform(shingle_strs, lambda s: F.xxhash64(s, F.lit(seed))))
+    )
+    return agg.select(
+        "conv_id",
+        n_turns.alias("n_turns"),
+        full_text.alias("full_text"),
+        F.xxhash64(full_text, F.lit(seed)).alias("full_hash"),
+        shingles.alias("shingles"),
+        F.size(shingles).alias("n_shingles"),
+    )
+
+
+def exact_dup_pairs(conv: DataFrame) -> DataFrame:
+    """Exact duplicates: identical full_text (hash-grouped, then pairs to the
+    group's canonical = min conv_id; a star, which is all connected
+    components needs).  Catches short convs with zero shingles too."""
+    groups = (
+        conv.groupBy("full_hash")
+        .agg(F.sort_array(F.collect_list("conv_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    return groups.select(
+        F.element_at("ids", 1).alias("a"), F.explode(F.slice("ids", 2, 1 << 30)).alias("b")
+    ).select("a", "b")
