@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries + transcript dedup throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_TURNS          approx synthetic transcript turns for the dedup run
+                       (default 200_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sketch_spark import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    turns_target = int(os.environ.get("BENCH_TURNS", "200000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("sketch-spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+
+    from sketch_spark.plans import entry_queries as EQ
+
+    timings: dict[str, float] = {}
+    headline = [
+        "q01_fingerprint_groups",
+        "q03_bottomk",
+        "q05_oneperm_registers",
+        "q06_band_buckets",
+        "q07_simhash",
+        "q14_order_part_overlap",
+        "q15_ngram_jaccard",
+        "q16_ann_topk",
+        "q17_user_sessions",
+        "q18_lineitem_agg",
+    ]
+    for name in headline:
+        t0 = time.time()
+        n = EQ.QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # transcript dedup pipeline on a deterministic synthetic corpus
+    from sketch_spark.operators.dedup import DedupConfig, DedupPipeline
+    from sketch_spark.sources import synth
+
+    base_cfg = synth.SynthConfig()
+    base_turns = 9_710  # measured turns of scale=1 corpus (seed 42)
+    scale = max(1, round(turns_target / base_turns))
+    gen_t0 = time.time()
+    corpus = synth.generate(synth.SynthConfig(scale=scale))
+    n_turns = len(corpus.transcripts)
+    print(f"# corpus: {n_turns} turns (scale {scale}) generated in "
+          f"{time.time() - gen_t0:.1f}s", file=sys.stderr)
+
+    t, _, _ = synth.to_spark(spark, corpus)
+    t = t.persist()
+    t.count()
+    t0 = time.time()
+    pipe = DedupPipeline(spark, DedupConfig())
+    out = pipe.run(t)
+    out["clusters"].count()
+    dedup_s = round(time.time() - t0, 3)
+    timings["dedup_pipeline"] = dedup_s
+    tps = round(n_turns / dedup_s, 1)
+    print(f"# dedup: {n_turns} turns in {dedup_s}s = {tps} turns/s; "
+          f"counters={pipe.counters}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "end_to_end_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "dedup_turns": n_turns,
+        "dedup_turns_per_sec": tps,
+        "cpus": cpus,
+        "counters": pipe.counters,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

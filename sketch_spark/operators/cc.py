@@ -55,9 +55,11 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _signature(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive and overflow-free (ANSI-safe in sessions
+    # we don't own — a sum of hashes would overflow).
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
 
@@ -73,28 +75,35 @@ def connected_components(
     Nodes not present in `pairs` are their own singletons (callers join the
     result back with a coalesce to node itself).
     """
-    # persist+count (not localCheckpoint: Spark 4.1 cannot localCheckpoint a
-    # plan whose lineage contains PythonUDF nodes, and upstream edge sources
-    # include pandas-UDF stages).  Each iteration unpersists the previous.
-    edges = (
+    # Initial edges may carry pandas-UDF lineage (verify/substring stages),
+    # which Spark 4.1 cannot localCheckpoint; write-and-reread through a
+    # scratch parquet dir as a lineage barrier (the cluster deployment's
+    # Iceberg stage checkpoint plays this role).  Loop iterations are pure
+    # JVM plans, so eager localCheckpoint cuts lineage growth per round.
+    import shutil
+    import tempfile
+
+    spark = pairs.sparkSession
+    e0 = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
     )
-    edges.count()
+    scratch = tempfile.mkdtemp(prefix="cc_edges_")
+    path = f"{scratch}/edges.parquet"
+    e0.write.mode("overwrite").parquet(path)
+    edges = spark.read.parquet(path).localCheckpoint()
+
     prev_sig = None
     iters = 0
     for _ in range(max_iter):
         iters += 1
-        new_edges = _small_star(_large_star(edges)).persist()
-        new_edges.count()
-        edges.unpersist()
-        edges = new_edges
+        edges = _small_star(_large_star(edges)).localCheckpoint()
         sig = _signature(edges)
         if sig == prev_sig:
             break
         prev_sig = sig
+    shutil.rmtree(scratch, ignore_errors=True)
     # After convergence, edges form stars (node -> component min).
     labels = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))

@@ -53,6 +53,68 @@ class DedupConfig:
         ).hexdigest()[:16]
 
 
+def document_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: DedupConfig | None = None,
+) -> DataFrame:
+    """Near-dup clustering of a flat document table (word-level 3-gram
+    shingles instead of turn-level): the same MinHash/LSH/verify/CC chain,
+    ANSI-safe (usable under a driver-owned session).  Returns
+    (doc_id, cluster_id, canonical_doc_id, cluster_size)."""
+    from sketch_spark.functions import text as T
+
+    cfg = cfg or DedupConfig()
+    ids = F.col(id_col).cast("string")
+    conv = docs.select(
+        ids.alias("conv_id"),
+        F.xxhash64(F.col(text_col), F.lit(cfg.seed)).alias("full_hash"),
+        F.array_sort(
+            F.array_distinct(T.shingle_hashes_col(F.col(text_col), cfg.shingle_n, cfg.seed))
+        ).alias("shingles"),
+    ).persist()
+    conv.count()
+    sig = minhash.one_perm_signature_from_array(
+        conv.select("conv_id", "shingles"), "shingles", "sig", cfg.p
+    ).select("conv_id", "sig")
+    sig = minhash.densify_signatures(sig, "sig", cfg.p).persist()
+    sig.count()
+    exact = transcripts.exact_dup_pairs(conv)
+    bands = lsh.band_keys(sig, "sig", "conv_id", cfg.rpr, 1 << cfg.p)
+    cands = lsh.candidate_pairs(bands, "conv_id", cfg.bucket_cap)
+    pre = lsh.verify_pairs(cands, sig, "conv_id", "sig", b_bits=64 - cfg.p, tau=cfg.tau_pre)
+    sa = conv.select(F.col("conv_id").alias("a"), F.col("shingles").alias("_sha"))
+    sb = conv.select(F.col("conv_id").alias("b"), F.col("shingles").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    j = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    verified = (
+        pre.join(sa, "a").join(sb, "b").withColumn("j_exact", j)
+        .where(F.col("j_exact") >= cfg.tau)
+        .select("a", "b")
+    )
+    edges = exact.select("a", "b").union(verified)
+    labels, _ = cc_mod.connected_components(edges)
+    clusters = (
+        conv.select("conv_id")
+        .join(labels.withColumnRenamed("node", "conv_id"), "conv_id", "left")
+        .select(
+            F.col("conv_id").alias(id_col),
+            F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("cluster_id")
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        F.col("cluster_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
+    )
+
+
 class DedupPipeline:
     def __init__(
         self,

@@ -1,0 +1,74 @@
+"""SimHash over shingle-hash arrays + Hamming verification.
+
+The reference has no SimHash by that name; its analog is the b-bit
+register-equality machinery (bbmh.h + count_eq.h — SURVEY.md §2.6).  The
+north rule asks for SimHash Hamming verification as a secondary dedup
+filter, so this is a first-class operator here:
+
+  sim bit i = 1  iff  #(shingles with hash bit i set) >= #(unset)
+
+Computed as one nested higher-order SQL aggregate over the per-conversation
+shingle array — zero shuffle, zero Python, O(64 * |shingles|) JVM work per
+conversation.  Verification = bit_count(a XOR b) (arrays.hamming_col).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sketch_spark.functions.arrays import hamming_col  # re-export  # noqa: F401
+
+
+def simhash64_expr(arr_col: str) -> Column:
+    """64-bit SimHash of an array<long> column (by name — the bit index is a
+    lambda variable, which the Python DSL's shiftleft can't take, so this is
+    a SQL-text expression; still whole-stage-codegen)."""
+    votes = (
+        f"aggregate({arr_col}, 0L, "
+        f"(acc, h) -> acc + IF((shiftright(h, i) & 1) = 1, 1, -1))"
+    )
+    return F.expr(
+        f"CASE WHEN size({arr_col}) = 0 THEN 0L ELSE "
+        f"aggregate(sequence(0, 63), 0L, "
+        f"(sh, i) -> sh + IF(({votes}) >= 0, shiftleft(1L, i), 0L)) END"
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, arr_col: str = "shingles", out_col: str = "simhash"
+) -> DataFrame:
+    return df.withColumn(out_col, simhash64_expr(arr_col))
+
+
+def simhash_py(hashes: list[int]) -> int:
+    """Python oracle for tests (same >=0 tie rule)."""
+    if not hashes:
+        return 0
+    out = 0
+    for i in range(64):
+        votes = sum(1 if (h >> i) & 1 else -1 for h in hashes)
+        if votes >= 0:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def hamming_filter(
+    pairs: DataFrame,
+    sims: DataFrame,
+    id_col: str = "conv_id",
+    sim_col: str = "simhash",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Secondary verification: keep candidate pairs whose SimHashes are
+    within max_hamming bits (count_eq.h-style register check, here on the
+    64-bit signature)."""
+    sa = sims.select(F.col(id_col).alias("a"), F.col(sim_col).alias("_sa"))
+    sb = sims.select(F.col(id_col).alias("b"), F.col(sim_col).alias("_sb"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("hamming", hamming_col(F.col("_sa"), F.col("_sb")))
+        .where(F.col("hamming") <= max_hamming)
+        .drop("_sa", "_sb")
+    )

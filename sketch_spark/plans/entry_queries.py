@@ -1,0 +1,901 @@
+"""Driver-contract queries: each operator exposed as (Spark plan, DuckDB SQL).
+
+The driver runs every `queries()[name]` on Spark at sf=0.01 and compares
+row-count + schema + order-insensitive value-hash against `oracle_sql()[name]`
+run by DuckDB on the same parquet.  Cross-engine equality therefore demands
+*engine-portable semantics*: every hash here is the polynomial mod-prime
+family from functions/hashing.py (identical integer arithmetic in both
+engines, overflow-free => ANSI-safe), and outputs are ints/strings (no
+floating point in hashed columns except where noted).
+
+These queries are the relational re-expression of the reference's operator
+families (SURVEY.md §2): KMV bottom-k (mh.h:99-256), one-perm registers
+(bbmh.h:894-969), LSH band buckets (ssi.h:85-102), register-equality /
+Hamming verification (count_eq.h, the SimHash analog), mod-sampling
+(mod.h:14-65), heavy hitters (hk.h), sorted intersection (isz.h:7-31),
+top-k heaps (heap.h), plus the training-pipeline operators (quality,
+lang-id, fingerprinting, n-gram Jaccard, ANN, connected components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sketch_spark.functions import text as T
+from sketch_spark.functions.hashing import (
+    POLY_B,
+    POLY_P,
+    POLY_TOKEN_B,
+    poly_hash_token_col,
+)
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+# tokens of d.text as a DuckDB list expression
+SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)"
+
+# per-token polynomial hash list
+SQL_TOKHASH = (
+    "list_transform({toks}, t -> CASE WHEN length(t) = 0 THEN 0 ELSE "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length(t) + 1), "
+    "i -> CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT))), "
+    f"(acc, c) -> (acc * {POLY_B} + c) % {POLY_P}) END)"
+)
+
+# combine a list of 3 token hashes into a shingle hash
+def _sql_shingle3(hlist: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(-1 AS BIGINT), {hlist}), "
+        f"(acc, h) -> CASE WHEN acc < 0 THEN h ELSE "
+        f"(acc * {POLY_TOKEN_B} + h) % {POLY_P} END)"
+    )
+
+
+SQL_DOC_SHINGLE_HASHES = f"""
+WITH tk AS (
+  SELECT doc_id, source, {SQL_TOKS.replace('text', 'text')} AS toks FROM documents
+), th AS (
+  SELECT doc_id, source, {SQL_TOKHASH.format(toks='toks')} AS th, len(toks) AS n FROM tk
+), sh AS (
+  SELECT doc_id, source,
+    CASE WHEN n < 3 THEN [] ELSE
+      list_transform(range(1, n - 1),
+        i -> {_sql_shingle3('list_slice(th, CAST(i AS INTEGER), CAST(i + 2 AS INTEGER))')})
+    END AS shingles
+  FROM th
+)
+"""
+
+
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        "source",
+        T.poly_shingle_hashes_col(F.col("text"), 3).alias("shingles"),
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# q01 — document fingerprint groups (exact-dup detection backbone)
+# ---------------------------------------------------------------------------
+
+
+def q01_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(T.fingerprint_col(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+Q01_SQL = f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+th AS (SELECT doc_id, {SQL_TOKHASH.format(toks='toks')} AS th FROM tk),
+fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+        (acc, h) -> (acc * {POLY_TOKEN_B} + h) % {POLY_P}) AS fp FROM th)
+SELECT fp, CAST(count(*) AS BIGINT) AS n_docs FROM fp GROUP BY fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — top-k word 3-gram shingles (heavy-hitter analog, string level)
+# ---------------------------------------------------------------------------
+
+
+def q02_shingle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        F.explode(T.word_shingles_col(T.tokens_col(F.col("text")), 3)).alias("shingle")
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("shingle"))
+        .limit(20)
+    )
+
+
+Q02_SQL = f"""
+WITH tk AS (SELECT {SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT array_to_string(list_slice(toks, CAST(i AS INTEGER), CAST(i + 2 AS INTEGER)), ' ') AS shingle
+  FROM tk, unnest(range(1, greatest(len(toks) - 1, 1))) AS t(i)
+  WHERE len(toks) >= 3
+)
+SELECT shingle, CAST(count(*) AS BIGINT) AS cnt FROM g
+GROUP BY shingle ORDER BY cnt DESC, shingle ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — bottom-k (KMV) sketch summary per document   (mh.h:99-256)
+# ---------------------------------------------------------------------------
+
+K_BOTTOM = 8
+
+
+def q03_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingle_hashes(spark, sf_dir)
+    ds = F.array_sort(F.array_distinct(F.col("shingles")))
+    return sh.select(
+        "doc_id",
+        F.size(ds).cast("long").alias("n_distinct"),
+        F.coalesce(F.get(ds, 0), F.lit(-1)).cast("long").alias("min_hash"),
+        F.coalesce(F.get(ds, K_BOTTOM - 1), F.lit(-1)).cast("long").alias("kth_min"),
+    )
+
+
+Q03_SQL = (
+    SQL_DOC_SHINGLE_HASHES
+    + f"""
+, ds AS (SELECT doc_id, list_sort(list_distinct(shingles)) AS u FROM sh)
+SELECT doc_id,
+  CAST(len(u) AS BIGINT) AS n_distinct,
+  CAST(coalesce(u[1], -1) AS BIGINT) AS min_hash,
+  CAST(coalesce(u[{K_BOTTOM}], -1) AS BIGINT) AS kth_min
+FROM ds
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# q04 — KMV shared-minimizer pairs within source blocks (LSH bottom-k mode,
+#        ssi.h:125-131: candidates = ids sharing minimizers)
+# ---------------------------------------------------------------------------
+
+K_PAIR = 16
+MIN_SHARED = 4
+
+
+def q04_kmv_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingle_hashes(spark, sf_dir)
+    bk = sh.select(
+        "doc_id",
+        "source",
+        F.slice(F.array_sort(F.array_distinct("shingles")), 1, K_PAIR).alias("bk"),
+    )
+    a = bk.alias("a")
+    b = bk.alias("b")
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("a_doc"),
+            F.col("b.doc_id").alias("b_doc"),
+            F.size(F.array_intersect(F.col("a.bk"), F.col("b.bk"))).cast("long").alias("n_shared"),
+        )
+        .where(F.col("n_shared") >= MIN_SHARED)
+    )
+
+
+Q04_SQL = (
+    SQL_DOC_SHINGLE_HASHES
+    + f"""
+, bk AS (SELECT doc_id, source,
+    list_slice(list_sort(list_distinct(shingles)), 1, {K_PAIR}) AS bk FROM sh)
+SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+  CAST(len(list_intersect(a.bk, b.bk)) AS BIGINT) AS n_shared
+FROM bk a JOIN bk b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.bk, b.bk)) >= {MIN_SHARED}
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# q05 — one-permutation MinHash registers (bbmh.h:894-969, portable variant:
+#        bucket = h % m, value = h // m)
+# ---------------------------------------------------------------------------
+
+M_REG = 16
+
+
+def q05_oneperm_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingle_hashes(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shingles").alias("h"))
+    return (
+        ex.groupBy(
+            "doc_id", (F.col("h") % M_REG).cast("long").alias("register_idx")
+        )
+        .agg(F.min((F.col("h") / M_REG).cast("long")).alias("register_value"))
+        .select("doc_id", "register_idx", F.col("register_value").cast("long"))
+    )
+
+
+Q05_SQL = (
+    SQL_DOC_SHINGLE_HASHES
+    + f"""
+, ex AS (SELECT doc_id, unnest(shingles) AS h FROM sh)
+SELECT doc_id, CAST(h % {M_REG} AS BIGINT) AS register_idx,
+  CAST(min(h // {M_REG}) AS BIGINT) AS register_value
+FROM ex GROUP BY doc_id, h % {M_REG}
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# q06 — LSH band buckets over the portable registers (ssi.h:85-102:
+#        contiguous rpr-register bands; key = polynomial combine)
+# ---------------------------------------------------------------------------
+
+RPR_Q = 4  # 16 registers -> 4 bands of 4
+SENTINEL = 999_999_937  # fill for empty registers (< POLY_P, never a h//m value collision risk issue)
+
+
+def q06_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    regs = q05_oneperm_registers(spark, sf_dir)
+    # dense 16-register vector per doc
+    dense = regs.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("register_idx", "register_value"))
+        ).alias("mm")
+    )
+    vec = dense.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(M_REG - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("mm"), i.cast("long")), F.lit(SENTINEL)
+            ),
+        ).alias("vec"),
+    )
+    n_bands = M_REG // RPR_Q
+    bands = vec.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.aggregate(
+                    F.slice("vec", b * RPR_Q + 1, RPR_Q),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: (acc * F.lit(POLY_TOKEN_B) + (v % F.lit(POLY_P)))
+                    % F.lit(POLY_P),
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    return bands.groupBy(
+        F.col("band_idx").cast("long").alias("band_idx"), "band_key"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+Q06_SQL = (
+    SQL_DOC_SHINGLE_HASHES
+    + f"""
+, ex AS (SELECT doc_id, unnest(shingles) AS h FROM sh WHERE len(shingles) > 0)
+, regs AS (SELECT doc_id, h % {M_REG} AS ri, min(h // {M_REG}) AS rv
+           FROM ex GROUP BY doc_id, h % {M_REG})
+, vec AS (
+  SELECT doc_id,
+    list_transform(range(0, {M_REG}),
+      i -> coalesce(list_extract(list_transform(list_filter(pairs, p -> p.ri = i), p -> p.rv), 1), {SENTINEL})) AS vec
+  FROM (SELECT doc_id, list(struct_pack(ri := ri, rv := rv)) AS pairs FROM regs GROUP BY doc_id)
+)
+, bands AS (
+  SELECT doc_id, CAST(b AS BIGINT) AS band_idx,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_slice(vec, CAST(b * {RPR_Q} + 1 AS INTEGER), CAST(b * {RPR_Q} + {RPR_Q} AS INTEGER))),
+      (acc, v) -> (acc * {POLY_TOKEN_B} + (v % {POLY_P})) % {POLY_P}) AS band_key
+  FROM vec, unnest(range(0, {M_REG // RPR_Q})) AS t(b)
+)
+SELECT band_idx, band_key, CAST(count(*) AS BIGINT) AS n_docs
+FROM bands GROUP BY band_idx, band_key
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# q07 — portable 60-bit SimHash per document
+# ---------------------------------------------------------------------------
+
+P2 = 998_244_353
+B2 = 37
+
+
+def _poly2_token_col(tok):
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(tok)),
+        lambda i: F.ascii(F.substr(tok, i, F.lit(1))),
+    )
+    folded = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(B2) + c.cast("long")) % F.lit(P2),
+    )
+    return F.when(F.length(tok) == 0, F.lit(0).cast("long")).otherwise(folded)
+
+
+def _doc_h60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle list with 60-bit combined hashes: h60 = h1 * 2^30 + h2
+    (h1, h2 < 2^30 via mod-prime; disjoint bit ranges)."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens_col(F.col("text"))
+    th1 = F.transform(toks, poly_hash_token_col)
+    th2 = F.transform(toks, _poly2_token_col)
+
+    def shingle_fold(th):
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(2), F.lit(0)))
+        return F.when(F.size(toks) < 3, F.array().cast("array<long>")).otherwise(
+            F.transform(
+                idx,
+                lambda i: F.aggregate(
+                    F.slice(th, i, 3),
+                    F.lit(-1).cast("long"),
+                    lambda acc, h: F.when(acc < 0, h).otherwise(
+                        (acc * F.lit(POLY_TOKEN_B) + h) % F.lit(POLY_P)
+                    ),
+                ),
+            )
+        )
+
+    s1 = shingle_fold(th1)
+    s2 = shingle_fold(th2)
+    h60 = F.zip_with(
+        s1, s2, lambda a, b: (a % F.lit(1 << 30)) * F.lit(1 << 30) + (b % F.lit(1 << 30))
+    )
+    return d.select("doc_id", "source", h60.alias("h60"))
+
+
+SQL_H60 = rf"""
+WITH tk AS (
+  SELECT doc_id, source, {SQL_TOKS} AS toks FROM documents
+), th AS (
+  SELECT doc_id, source, len(toks) AS n,
+    {SQL_TOKHASH.format(toks='toks')} AS th1,
+    list_transform(toks, t -> CASE WHEN length(t) = 0 THEN 0 ELSE
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length(t) + 1),
+          i -> CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT))),
+      (acc, c) -> (acc * {B2} + c) % {P2}) END) AS th2
+  FROM tk
+), sh AS (
+  SELECT doc_id, source,
+    CASE WHEN n < 3 THEN [] ELSE list_transform(range(1, n - 1), i ->
+      ({_sql_shingle3('list_slice(th1, CAST(i AS INTEGER), CAST(i + 2 AS INTEGER))')} % {1 << 30}) * {1 << 30}
+      + ({_sql_shingle3('list_slice(th2, CAST(i AS INTEGER), CAST(i + 2 AS INTEGER))')} % {1 << 30})
+    ) END AS h60
+  FROM th
+)
+"""
+
+
+def q07_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _doc_h60(spark, sf_dir)
+    ex = h.select("doc_id", F.explode("h60").alias("v"))
+    bits = ex.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"), "v"
+    )
+    # shiftright with a *column* bit count needs the SQL form
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(F.expr("CASE WHEN shiftright(v, bit) % 2 = 1 THEN 1 ELSE -1 END")).alias(
+            "vote"
+        )
+    )
+    sim = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).cast("long").alias("simhash")
+    )
+    return sim
+
+
+Q07_SQL = (
+    SQL_H60
+    + """
+, ex AS (SELECT doc_id, unnest(h60) AS v FROM sh)
+, bits AS (SELECT doc_id, b, CASE WHEN (v >> CAST(b AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+           FROM ex, unnest(range(0, 60)) AS t(b))
+, votes AS (SELECT doc_id, b, sum(vote) AS vote FROM bits GROUP BY doc_id, b)
+SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# q08 — SimHash Hamming pairs within source (count_eq.h analog)
+# ---------------------------------------------------------------------------
+
+HAM_MAX = 12
+
+
+def q08_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = q07_simhash(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    sim = sim.join(src, "doc_id")
+    a = sim.alias("a")
+    b = sim.alias("b")
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("a_doc"),
+            F.col("b.doc_id").alias("b_doc"),
+            dist.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= HAM_MAX)
+    )
+
+
+Q08_SQL = (
+    SQL_H60
+    + f"""
+, ex AS (SELECT doc_id, unnest(h60) AS v FROM sh)
+, bits AS (SELECT doc_id, b, CASE WHEN (v >> CAST(b AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+           FROM ex, unnest(range(0, 60)) AS t(b))
+, votes AS (SELECT doc_id, b, sum(vote) AS vote FROM bits GROUP BY doc_id, b)
+, sim AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id)
+, s2 AS (SELECT s.doc_id, s.simhash, d.source FROM sim s JOIN documents d ON s.doc_id = d.doc_id)
+SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s2 a JOIN s2 b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAM_MAX}
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# q09/q10 — heavy hitters & distinct counts on events
+# ---------------------------------------------------------------------------
+
+
+def q09_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .limit(10)
+    )
+
+
+Q09_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events
+GROUP BY event_type ORDER BY cnt DESC, event_type ASC LIMIT 10
+"""
+
+
+def q10_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
+
+
+Q10_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 — mod-sampling sketch (mod.h:14-65: keep h % m == 0)
+# ---------------------------------------------------------------------------
+
+MOD_M = 64
+
+
+def q11_mod_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingle_hashes(spark, sf_dir)
+    return sh.select(
+        "doc_id",
+        F.size(
+            F.filter(F.array_distinct("shingles"), lambda h: h % MOD_M == 0)
+        ).cast("long").alias("n_sampled"),
+    )
+
+
+Q11_SQL = (
+    SQL_DOC_SHINGLE_HASHES
+    + f"""
+SELECT doc_id,
+  CAST(len(list_filter(list_distinct(shingles), h -> h % {MOD_M} = 0)) AS BIGINT) AS n_sampled
+FROM sh
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# q12/q13 — text quality + language id
+# ---------------------------------------------------------------------------
+
+
+def q12_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    nt, nc, nsw, np_, passes = T.quality_flags_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        nt.cast("long").alias("n_tokens"),
+        nc.cast("long").alias("n_chars_m"),
+        nsw.cast("long").alias("n_stopwords"),
+        np_.cast("long").alias("n_punct"),
+        passes.cast("long").alias("passes"),
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+Q12_SQL = rf"""
+WITH tk AS (SELECT doc_id, text, {SQL_TOKS} AS toks,
+            list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS ltoks
+            FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_m,
+  CAST(len(list_filter(ltoks, t -> list_contains([{_SW_LIST}], t))) AS BIGINT) AS n_stopwords,
+  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9[:space:]]', '', 'g')) AS BIGINT) AS n_punct,
+  CAST(CASE WHEN len(toks) >= 5 AND
+    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9[:space:]]', '', 'g'))) * 100 <= length(text) * 20
+    THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM tk
+"""
+
+
+def q13_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", T.langid_col(F.col("text")).alias("pred_lang"))
+
+
+Q13_SQL = rf"""
+WITH tk AS (SELECT doc_id, text,
+            list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS ltoks
+            FROM documents)
+SELECT doc_id,
+  CASE WHEN len(ltoks) > 0
+        AND len(list_filter(ltoks, t -> list_contains([{_SW_LIST}], t))) * 50 >= len(ltoks)
+        AND length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) * 50 <= length(text)
+       THEN 'en' ELSE 'unknown' END AS pred_lang
+FROM tk
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — sorted-set intersection (isz.h:7-31): shared parts across order pairs
+# ---------------------------------------------------------------------------
+
+
+def q14_order_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    parts = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    ow = o.select("o_orderkey", "o_custkey").join(
+        parts, o.o_orderkey == parts.l_orderkey
+    ).select("o_orderkey", "o_custkey", "parts")
+    a = ow.alias("a")
+    b = ow.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("o1"),
+            F.col("b.o_orderkey").alias("o2"),
+            F.size(F.array_intersect(F.col("a.parts"), F.col("b.parts")))
+            .cast("long")
+            .alias("n_shared_parts"),
+        )
+        .where(F.col("n_shared_parts") >= 1)
+    )
+
+
+Q14_SQL = """
+WITH parts AS (
+  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+  FROM lineitem GROUP BY l_orderkey
+), ow AS (
+  SELECT o.o_orderkey, o.o_custkey, p.parts
+  FROM orders o JOIN parts p ON o.o_orderkey = p.l_orderkey
+)
+SELECT a.o_custkey AS custkey, a.o_orderkey AS o1, b.o_orderkey AS o2,
+  CAST(len(list_intersect(a.parts, b.parts)) AS BIGINT) AS n_shared_parts
+FROM ow a JOIN ow b ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+WHERE len(list_intersect(a.parts, b.parts)) >= 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 — char-5-gram Jaccard pairs (n-gram near-dup detector)
+# ---------------------------------------------------------------------------
+
+NG = 5
+NG_MIN_INTER = 30
+
+
+def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    g = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(T.char_ngrams_col(F.col("text"), NG)).alias("grams"),
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("a_doc"),
+            F.col("b.doc_id").alias("b_doc"),
+            inter.cast("long").alias("n_inter"),
+            union.cast("long").alias("n_union"),
+        )
+        .where(F.col("n_inter") >= NG_MIN_INTER)
+    )
+
+
+Q15_SQL = f"""
+WITH g AS (
+  SELECT doc_id, source,
+    list_distinct(CASE WHEN length(text) < {NG} THEN []
+      ELSE list_transform(range(1, length(text) - {NG - 2}),
+           i -> substr(text, CAST(i AS INTEGER), {NG})) END) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+  CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter,
+  CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) AS n_union
+FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams)) >= {NG_MIN_INTER}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 — ANN: integer-quantized max-inner-product top-3 (brute force baseline)
+# ---------------------------------------------------------------------------
+
+N_QUERIES = 10
+TOP_K = 3
+QSCALE = 1000
+
+
+def q16_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda v: F.round(v * QSCALE).cast("long")).alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.transform("embedding", lambda v: F.round(v * QSCALE).cast("long")).alias("nv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", dot.alias("dot"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("q_id", F.col("rank").cast("long").alias("rank"), "n_id", "dot")
+    )
+
+
+Q16_SQL = f"""
+WITH qe AS (
+  SELECT vec_id AS q_id,
+    list_transform(embedding, v -> CAST(round(v * {QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), ce AS (
+  SELECT vec_id AS n_id,
+    list_transform(embedding, v -> CAST(round(v * {QSCALE}) AS BIGINT)) AS nv
+  FROM embeddings
+), scored AS (
+  SELECT q.q_id, c.n_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(q.qv) + 1),
+        i -> q.qv[CAST(i AS INTEGER)] * c.nv[CAST(i AS INTEGER)])),
+      (acc, v) -> acc + v) AS dot
+  FROM qe q JOIN ce c ON q.q_id != c.n_id
+), ranked AS (
+  SELECT q_id, n_id, dot,
+    row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, dot FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — windowed sessionization counters on events
+# ---------------------------------------------------------------------------
+
+
+def q17_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; timestampdiff is timezone-free on NTZ
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.lag("ts").over(w).alias("prev_ts"),
+            "ts",
+        )
+        .withColumn(
+            "gap_us",
+            F.coalesce(
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)"), F.lit(-1)
+            ).cast("long"),
+        )
+        .select("event_id", "user_id", "rn", "gap_us")
+    )
+
+
+Q17_SQL = """
+SELECT event_id, user_id,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+  CAST(coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), -1) AS BIGINT) AS gap_us
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18 — decimal-exact lineitem aggregate (TPC-H Q1 shape, FP-safe)
+# ---------------------------------------------------------------------------
+
+
+def q18_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("sum_qty_cents"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("sum_base_price_cents"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+# sums exposed as integer cents: decimal aggregation is exact in both
+# engines, but decimal->pandas rendering differs; integers compare clean.
+Q18_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_cents,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price_cents,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19 — connected components (iterative joins) vs DuckDB recursive CTE
+# ---------------------------------------------------------------------------
+
+CC_MIN_SHARED = 8
+
+
+def q19_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.cc import connected_components
+
+    pairs = q04_kmv_pairs(spark, sf_dir).where(F.col("n_shared") >= CC_MIN_SHARED)
+    edges = pairs.select(
+        F.col("a_doc").cast("string").alias("a"), F.col("b_doc").cast("string").alias("b")
+    )
+    labels, _ = connected_components(edges)
+    return labels.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+Q19_SQL = (
+    SQL_DOC_SHINGLE_HASHES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, bk AS (SELECT doc_id, source,
+    list_slice(list_sort(list_distinct(shingles)), 1, {K_PAIR}) AS bk FROM sh)
+, e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM bk a JOIN bk b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.bk, b.bk)) >= {CC_MIN_SHARED}
+)
+, edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)
+, nodes AS (SELECT DISTINCT a AS node FROM edges)
+, walk AS (
+  SELECT node, node AS reach FROM nodes
+  UNION
+  SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_fingerprint_groups": q01_fingerprint_groups,
+    "q02_shingle_topk": q02_shingle_topk,
+    "q03_bottomk": q03_bottomk,
+    "q04_kmv_pairs": q04_kmv_pairs,
+    "q05_oneperm_registers": q05_oneperm_registers,
+    "q06_band_buckets": q06_band_buckets,
+    "q07_simhash": q07_simhash,
+    "q08_hamming_pairs": q08_hamming_pairs,
+    "q09_topk_event_types": q09_topk_event_types,
+    "q10_distinct_users": q10_distinct_users,
+    "q11_mod_sample": q11_mod_sample,
+    "q12_text_quality": q12_text_quality,
+    "q13_langid": q13_langid,
+    "q14_order_part_overlap": q14_order_part_overlap,
+    "q15_ngram_jaccard": q15_ngram_jaccard,
+    "q16_ann_topk": q16_ann_topk,
+    "q17_user_sessions": q17_user_sessions,
+    "q18_lineitem_agg": q18_lineitem_agg,
+    "q19_cc_clusters": q19_cc_clusters,
+}
+
+ORACLES = {
+    "q01_fingerprint_groups": Q01_SQL,
+    "q02_shingle_topk": Q02_SQL,
+    "q03_bottomk": Q03_SQL,
+    "q04_kmv_pairs": Q04_SQL,
+    "q05_oneperm_registers": Q05_SQL,
+    "q06_band_buckets": Q06_SQL,
+    "q07_simhash": Q07_SQL,
+    "q08_hamming_pairs": Q08_SQL,
+    "q09_topk_event_types": Q09_SQL,
+    "q10_distinct_users": Q10_SQL,
+    "q11_mod_sample": Q11_SQL,
+    "q12_text_quality": Q12_SQL,
+    "q13_langid": Q13_SQL,
+    "q14_order_part_overlap": Q14_SQL,
+    "q15_ngram_jaccard": Q15_SQL,
+    "q16_ann_topk": Q16_SQL,
+    "q17_user_sessions": Q17_SQL,
+    "q18_lineitem_agg": Q18_SQL,
+    "q19_cc_clusters": Q19_SQL,
+}

@@ -1,0 +1,99 @@
+"""End-to-end pipeline: recall >= 0.99 vs planted truth, precision guard,
+per-turn text-equality invariant, resume idempotence (north rule gates)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sketch_spark.operators.dedup import DedupConfig, DedupPipeline
+from sketch_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth.generate(
+        synth.SynthConfig(
+            n_single=40, n_exact=10, n_near=12, n_tail=8, n_substring=6,
+            n_boiler=15, n_edge=6,
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    t, _, _ = synth.to_spark(spark, corpus)
+    pipe = DedupPipeline(spark, DedupConfig())
+    out = pipe.run(t)
+    return pipe, out, t
+
+
+def _pairs_from_clusters(assign: dict) -> set:
+    from collections import defaultdict
+
+    m = defaultdict(list)
+    for k, c in assign.items():
+        m[c].append(k)
+    return {
+        (a, b)
+        for mem in m.values()
+        if len(mem) > 1
+        for i, a in enumerate(mem)
+        for b in mem[i + 1 :]
+    }
+
+
+def test_recall_and_precision(result, corpus):
+    _, out, _ = result
+    got = {r.conv_id: r.cluster_id for r in out["clusters"].collect()}
+    truth = dict(
+        zip(corpus.truth_clusters.conv_id, corpus.truth_clusters.cluster_id)
+    )
+    tp = _pairs_from_clusters(truth)
+    gp = _pairs_from_clusters(got)
+    # normalize unordered
+    tp = {tuple(sorted(p)) for p in tp}
+    gp = {tuple(sorted(p)) for p in gp}
+    recall = len(tp & gp) / len(tp)
+    assert recall >= 0.99, f"recall {recall}"
+    extras = gp - tp
+    assert not extras, f"unexpected same-cluster pairs: {sorted(extras)[:5]}"
+
+
+def test_counters_populated(result):
+    pipe, _, _ = result
+    c = pipe.counters
+    assert c["convs"] > 0
+    assert c["exact_pairs"] > 0
+    assert c["candidate_pairs"] > 0
+    assert c["verified_pairs"] > 0
+    assert c["substring_pairs"] > 0
+    assert c["cc_iterations"] >= 1
+
+
+def test_per_turn_text_equality(result, spark):
+    """North-rule invariant: pipeline outputs re-joined to the untouched
+    input on (conv_id, turn_idx) leave text bytes identical (the pipeline
+    never mutates text; this asserts the join carries it through)."""
+    _, out, t = result
+    joined = t.join(out["clusters"], "conv_id", "left")
+    assert joined.where(F.col("cluster_id").isNull()).count() == 0
+    back = joined.select("conv_id", "turn_idx", "text")
+    diff = (
+        t.select("conv_id", "turn_idx", F.col("text").alias("orig"))
+        .join(back, ["conv_id", "turn_idx"])
+        .where(~F.col("text").eqNullSafe(F.col("orig")))
+    )
+    assert diff.count() == 0
+
+
+def test_resume_idempotent(spark, corpus, tmp_path):
+    t, _, _ = synth.to_spark(spark, corpus)
+    ck = str(tmp_path / "ckpt")
+    p1 = DedupPipeline(spark, DedupConfig(), checkpoint_dir=ck)
+    r1 = sorted(map(tuple, p1.run(t)["clusters"].collect()))
+    p2 = DedupPipeline(spark, DedupConfig(), checkpoint_dir=ck)
+    r2 = sorted(map(tuple, p2.run(t)["clusters"].collect()))
+    assert r1 == r2
+    assert all(e.get("resumed") for e in p2.ckpt.log)
+    shutil.rmtree(ck, ignore_errors=True)

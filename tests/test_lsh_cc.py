@@ -1,0 +1,93 @@
+"""LSH banding layout, candidate generation, bucket caps, and connected
+components (reference ssi.h band layout; Kiveris alternating algorithm)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sketch_spark.operators import lsh
+from sketch_spark.operators.cc import connected_components
+
+
+def test_band_layout_contiguous(spark):
+    # one signature; verify bands = contiguous rpr slices (ssi.h:85-102)
+    m, rpr = 16, 4
+    sig = list(range(100, 100 + m))
+    df = spark.createDataFrame([("x", sig)], "conv_id string, sig array<long>")
+    bands = lsh.band_keys(df, "sig", "conv_id", rpr, m).collect()
+    assert sorted(b.band for b in bands) == list(range(m // rpr))
+    # identical slice -> identical key; different band index -> different key
+    df2 = spark.createDataFrame([("y", sig)], "conv_id string, sig array<long>")
+    bands2 = lsh.band_keys(df2, "sig", "conv_id", rpr, m).collect()
+    k1 = {b.band: b.key for b in bands}
+    k2 = {b.band: b.key for b in bands2}
+    assert k1 == k2
+
+
+def test_candidate_pairs_and_counts(spark):
+    rows = [
+        ("a", 0, 111), ("b", 0, 111), ("c", 0, 111),  # bucket of 3 -> 3 pairs
+        ("a", 1, 222), ("b", 1, 222),                  # a-b again -> n_bands=2
+        ("d", 2, 333),                                 # singleton bucket
+    ]
+    bands = spark.createDataFrame(rows, "conv_id string, band int, key long")
+    pairs = {(r.a, r.b): r.n_bands for r in lsh.candidate_pairs(bands).collect()}
+    assert pairs == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_bucket_cap_deterministic(spark):
+    ids = [f"c{i:02d}" for i in range(10)]
+    rows = [(i, 0, 7) for i in ids]
+    bands = spark.createDataFrame(rows, "conv_id string, band int, key long")
+    pairs = lsh.candidate_pairs(bands, bucket_cap=4).collect()
+    # only the 4 smallest ids participate: C(4,2)=6 pairs
+    assert len(pairs) == 6
+    touched = {x for r in pairs for x in (r.a, r.b)}
+    assert touched == set(ids[:4])
+    census = lsh.bucket_census(bands, bucket_cap=4)
+    assert census["buckets_over_cap"] == 1 and census["ids_dropped"] == 6
+
+
+def test_verify_pairs_frac_eq(spark):
+    sig = spark.createDataFrame(
+        [
+            ("a", [1, 2, 3, 4]),
+            ("b", [1, 2, 3, 9]),  # 3/4 equal
+            ("c", [9, 9, 9, 9]),
+        ],
+        "conv_id string, sig array<long>",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1)], "a string, b string, n_bands long"
+    )
+    out = {(r.a, r.b): r for r in lsh.verify_pairs(pairs, sig, tau=0.0).collect()}
+    assert out[("a", "b")].n_eq == 3
+    assert abs(out[("a", "b")].j_est - 0.75) < 1e-9
+    assert out[("a", "c")].n_eq == 0
+
+
+def test_connected_components_fixture(spark):
+    # 3 components: a chain, a clique, a singleton pair (FIXTURES.md §3)
+    edges = [
+        ("n1", "n2"), ("n2", "n3"), ("n3", "n4"),          # chain
+        ("m1", "m2"), ("m1", "m3"), ("m2", "m3"),          # clique
+        ("z8", "z9"),
+    ]
+    df = spark.createDataFrame(edges, "a string, b string")
+    labels, iters = connected_components(df)
+    got = {r.node: r.cluster_id for r in labels.collect()}
+    assert got == {
+        "n1": "n1", "n2": "n1", "n3": "n1", "n4": "n1",
+        "m1": "m1", "m2": "m1", "m3": "m1",
+        "z8": "z8", "z9": "z8",
+    }
+    assert iters <= 6
+
+
+def test_connected_components_long_path(spark):
+    # path of 33 nodes -> must converge (O(log n) rounds) to one component
+    edges = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(32)]
+    df = spark.createDataFrame(edges, "a string, b string")
+    labels, iters = connected_components(df)
+    got = {r.cluster_id for r in labels.collect()}
+    assert got == {"p00"}
+    assert iters <= 10

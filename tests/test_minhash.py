@@ -1,0 +1,122 @@
+"""MinHash semantics tests, mirroring the reference's planted-truth style
+(testsrc/mhtest.cpp: known-overlap sets, merge equivalence, self-J = 1)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketch_spark.operators import minhash as MH
+
+
+def _planted_sets(n=2000, olap=1000, seed=13):
+    """Two hash sets with |A|=|B|=n sharing olap elements:
+    true J = olap / (2n - olap)  (reference mhtest.cpp:46)."""
+    rng = np.random.default_rng(seed)
+    # full-range uint64 hashes (KMV assumes rank-uniformity over 2^64)
+    raw = rng.integers(0, 2**64, size=2 * n + 10_000, dtype=np.uint64)
+    pool = np.unique(raw)
+    rng.shuffle(pool)
+    shared = pool[:olap]
+    a = np.concatenate([shared, pool[olap:n]])
+    b = np.concatenate([shared, pool[n : 2 * n - olap]])
+    return a.astype(np.int64), b.astype(np.int64), olap / (2 * n - olap)
+
+
+def _shingle_df(spark, sets: dict):
+    rows = [(k, int(v)) for k, vs in sets.items() for v in vs]
+    return spark.createDataFrame(rows, "conv_id string, h long")
+
+
+def test_one_perm_signature_and_jaccard(spark):
+    a, b, true_j = _planted_sets()
+    df = _shingle_df(spark, {"A": a, "B": b})
+    sig = MH.one_perm_signature(df, p=7)
+    sig = MH.densify_signatures(sig, "sig", p=7)
+    rows = {r.conv_id: r.sig for r in sig.collect()}
+    sa, sb = np.array(rows["A"]), np.array(rows["B"])
+    frac = (sa == sb).mean()
+    # m=128 registers: sigma ~ sqrt(J(1-J)/m) ~ 0.044; allow 4 sigma
+    assert abs(frac - true_j) < 0.18
+    # self-similarity is exactly 1
+    assert (sa == sa).all()
+
+
+def test_one_perm_from_array_equals_exploded(spark):
+    a, b, _ = _planted_sets(n=500, olap=100)
+    df = _shingle_df(spark, {"A": a, "B": b})
+    s1 = MH.one_perm_signature(df, p=5)
+    arr = df.groupBy("conv_id").agg(
+        F.array_sort(F.collect_set("h")).alias("shingles")
+    )
+    s2 = MH.one_perm_signature_from_array(arr, "shingles", "sig", p=5)
+    r1 = {r.conv_id: r.sig for r in s1.collect()}
+    r2 = {r.conv_id: r.sig for r in s2.collect()}
+    assert r1 == r2
+
+
+def test_merge_equivalence(spark):
+    """finalize(A) += finalize(B) == finalize(A ∪ B) — the commutative monoid
+    property (reference mhtest.cpp:131-149, bbmh.h:1092-1137).  In Spark:
+    the signature of a union equals the element-wise min of signatures."""
+    a, b, _ = _planted_sets(n=800, olap=200)
+    df = _shingle_df(spark, {"A": a, "B": b, "U": np.concatenate([a, b])})
+    sig = MH.one_perm_signature(df, p=6)
+    rows = {r.conv_id: r.sig for r in sig.collect()}
+
+    def mn(x, y):
+        if x is None:
+            return y
+        if y is None:
+            return x
+        return min(x, y)
+
+    merged = [mn(x, y) for x, y in zip(rows["A"], rows["B"])]
+    assert merged == rows["U"]
+
+
+def test_bottom_k_and_kmv(spark):
+    a, b, true_j = _planted_sets(n=3000, olap=1500)
+    df = _shingle_df(spark, {"A": a, "B": b})
+    k = 256
+    bk = MH.bottom_k(df, k)
+    rows = {r.conv_id: r for r in bk.collect()}
+    assert rows["A"].n_distinct == 3000
+    assert len(rows["A"].bottomk) == k
+    assert rows["A"].bottomk == sorted(rows["A"].bottomk)
+    # windowed variant agrees
+    bkw = MH.bottom_k_windowed(df, k)
+    roww = {r.conv_id: r.bottomk for r in bkw.collect()}
+    assert roww["A"] == list(rows["A"].bottomk)
+    # first-k-of-union walk close to true J (sigma ~ sqrt(J(1-J)/k) ~ .03)
+    est = MH.bottomk_jaccard_py(list(rows["A"].bottomk), list(rows["B"].bottomk), k)
+    assert abs(est - true_j) < 0.12
+    # JVM expression matches the python walk
+    pair = spark.createDataFrame(
+        [(list(rows["A"].bottomk), list(rows["B"].bottomk))], "a array<long>, b array<long>"
+    )
+    jvm = pair.select(MH.bottomk_jaccard_col(F.col("a"), F.col("b"), k).alias("j")).collect()[0].j
+    assert abs(jvm - est) < 1e-12
+    # KMV cardinality within 3/sqrt(k) relative error
+    card = spark.createDataFrame(
+        [(list(rows["A"].bottomk),)], "bk array<long>"
+    ).select(MH.kmv_cardinality_col(F.col("bk"), k).alias("c")).collect()[0].c
+    assert abs(card - 3000) / 3000 < 3 / np.sqrt(k)
+
+
+def test_densify_determinism_and_completeness(spark):
+    # sparse set: 10 elements into 64 registers -> many empty, all filled after
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 2**62, size=10).astype(np.int64)
+    df = _shingle_df(spark, {"A": vals, "B": vals})
+    sig = MH.densify_signatures(MH.one_perm_signature(df, p=6), "sig", p=6)
+    rows = {r.conv_id: r.sig for r in sig.collect()}
+    assert None not in rows["A"]
+    # equal sets -> equal densified signatures (determinism)
+    assert rows["A"] == rows["B"]
+
+
+def test_empty_and_single(spark):
+    df = _shingle_df(spark, {"One": np.array([42], dtype=np.int64)})
+    sig = MH.densify_signatures(MH.one_perm_signature(df, p=4), "sig", p=4)
+    r = sig.collect()[0]
+    assert None not in r.sig and len(r.sig) == 16
