@@ -57,17 +57,25 @@ def main() -> None:
     from sketch_spark.operators.dedup import DedupConfig, DedupPipeline
     from sketch_spark.sources import synth
 
-    base_cfg = synth.SynthConfig()
     base_turns = 9_710  # measured turns of scale=1 corpus (seed 42)
     scale = max(1, round(turns_target / base_turns))
     gen_t0 = time.time()
-    corpus = synth.generate(synth.SynthConfig(scale=scale))
-    n_turns = len(corpus.transcripts)
-    print(f"# corpus: {n_turns} turns (scale {scale}) generated in "
-          f"{time.time() - gen_t0:.1f}s", file=sys.stderr)
-
-    t, _, _ = synth.to_spark(spark, corpus)
-    t = t.persist()
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache", f"transcripts_scale{scale}.parquet")
+    if os.path.exists(cache):
+        t = spark.read.parquet(cache)
+        n_turns = t.count()
+        print(f"# corpus: {n_turns} turns (scale {scale}) from cache", file=sys.stderr)
+    else:
+        corpus = synth.generate(synth.SynthConfig(scale=scale))
+        n_turns = len(corpus.transcripts)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        t, _, _ = synth.to_spark(spark, corpus)
+        t.write.mode("overwrite").parquet(cache)
+        t = spark.read.parquet(cache)
+        print(f"# corpus: {n_turns} turns (scale {scale}) generated in "
+              f"{time.time() - gen_t0:.1f}s", file=sys.stderr)
+    t = t.repartition(2 * cpus, "conv_id").persist()
     t.count()
     t0 = time.time()
     pipe = DedupPipeline(spark, DedupConfig())
@@ -76,8 +84,9 @@ def main() -> None:
     dedup_s = round(time.time() - t0, 3)
     timings["dedup_pipeline"] = dedup_s
     tps = round(n_turns / dedup_s, 1)
+    stage_s = {e["stage"]: e.get("seconds") for e in pipe.ckpt.log}
     print(f"# dedup: {n_turns} turns in {dedup_s}s = {tps} turns/s; "
-          f"counters={pipe.counters}", file=sys.stderr)
+          f"stages={stage_s}; counters={pipe.counters}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -75,11 +75,14 @@ def hll_registers(
         )
         .select(
             F.col("_g").alias(group_col),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda i: F.coalesce(
-                    F.element_at(F.col("mm"), i.cast("long")), F.lit(0)
-                ),
+            # static unroll (codegen) instead of interpreted transform()
+            F.array(
+                *[
+                    F.coalesce(
+                        F.element_at(F.col("mm"), F.lit(i).cast("long")), F.lit(0)
+                    )
+                    for i in range(m)
+                ]
             ).alias("regs"),
         )
     )

@@ -40,9 +40,14 @@ def band_keys(
     """signatures -> (id, band, key) rows; m/rpr bands of rpr contiguous
     registers each (reference ssi.h:85-102 layout)."""
     n_bands = m // rpr
-    keys = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.xxhash64(b, F.slice(F.col(sig_col), b * rpr + 1, rpr)),
+    # statically unrolled band list: higher-order transform() is evaluated
+    # interpretively per element; a literal array of n_bands expressions
+    # stays inside whole-stage codegen.
+    keys = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.slice(F.col(sig_col), b * rpr + 1, rpr))
+            for b in range(n_bands)
+        ]
     )
     return (
         sig_df.where(F.col(sig_col).isNotNull())
@@ -62,14 +67,89 @@ def candidate_pairs(
     `bucket_census`.  Pair emission is a JVM nested transform — no
     per-bucket Python, no self-join.
     """
+    # 1) codegen count-agg census; keep only multi-occupant buckets (the
+    #    overwhelming majority of buckets are singletons — collect_set over
+    #    all of them would pay ObjectHashAggregate on every group);
+    # 2) collect_set only on the multi-bucket subset, capped.
+    counts = bands_df.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+    multi = counts.where(F.col("_n") >= 2).select("band", "key")
     buckets = (
-        bands_df.groupBy("band", "key")
-        .agg(F.slice(F.sort_array(F.collect_set(F.col(id_col))), 1, bucket_cap + 1).alias("ids"))
+        bands_df.join(multi, ["band", "key"])
+        .groupBy("band", "key")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set(F.col(id_col))), 1, bucket_cap
+            ).alias("ids")
+        )
         .where(F.size("ids") >= 2)
-        .select(F.slice(F.col("ids"), 1, bucket_cap).alias("ids"))
+        .select("ids")
     )
-    # nested pair expansion: for i<j emit struct(ids[i], ids[j])
+    # pair expansion via two Generate operators (codegen) instead of nested
+    # interpreted transforms: explode a, then explode the tail > a.
+    pairs = (
+        buckets.select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
+        .where(F.col("a") < F.col("b"))
+    )
+    return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_bands"))
+
+
+def band_keys_multilevel(
+    sig_df: DataFrame,
+    sig_col: str = "sig",
+    id_col: str = "conv_id",
+    rprs: tuple[int, ...] = (8, 4, 2),
+    m: int = 128,
+) -> DataFrame:
+    """Multi-level ladder (reference ssi.h:85-102: band widths rpr in a pow2
+    ladder; level 0 = widest bands = most specific).  Emits
+    (id, level, band, key); query-side capping prefers lower level numbers
+    = more specific matches, mirroring the most-specific-first walk of
+    ssi.h:385-444."""
+    # NB: F.transform dispatches on the lambda's arity — a default second
+    # parameter would be bound to the array INDEX column, not the default
+    # value.  Bind level/rpr through a real closure instead.
+    def level_keys(level: int, rpr: int):
+        n_bands = m // rpr
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.xxhash64(
+                F.lit(level), b, F.slice(F.col(sig_col), b * rpr + 1, rpr)
+            ),
+        )
+
+    out = None
+    for level, rpr in enumerate(rprs):
+        lv = sig_df.where(F.col(sig_col).isNotNull()).select(
+            F.col(id_col),
+            F.lit(level).alias("level"),
+            F.posexplode(level_keys(level, rpr)).alias("band", "key"),
+        )
+        out = lv if out is None else out.unionByName(lv)
+    return out
+
+
+def candidate_pairs_capped(
+    bands_df: DataFrame,
+    id_col: str = "conv_id",
+    bucket_cap: int = 64,
+    max_cand_per_item: int | None = None,
+) -> DataFrame:
+    """candidate_pairs plus the reference's per-item `maxcand` early stop
+    (ssi.h:387-444): each item keeps at most max_cand_per_item partners,
+    preferring more-specific (lower level, then more matched bands)
+    candidates; deterministic tie-break by partner id."""
+    from pyspark.sql import Window
+
+    has_level = "level" in bands_df.columns
+    group_cols = (["level", "band", "key"] if has_level else ["band", "key"])
+    buckets = (
+        bands_df.groupBy(*group_cols)
+        .agg(F.slice(F.sort_array(F.collect_set(F.col(id_col))), 1, bucket_cap).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     pairs = buckets.select(
+        *([F.col("level")] if has_level else [F.lit(0).alias("level")]),
         F.explode(
             F.flatten(
                 F.transform(
@@ -83,9 +163,27 @@ def candidate_pairs(
                     ),
                 )
             )
-        ).alias("p")
-    ).select("p.a", "p.b")
-    return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_bands"))
+        ).alias("p"),
+    ).select("level", "p.a", "p.b")
+    agg = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_bands"), F.min("level").alias("best_level")
+    )
+    if max_cand_per_item is None:
+        return agg
+    wa = Window.partitionBy("a").orderBy(
+        F.asc("best_level"), F.desc("n_bands"), F.asc("b")
+    )
+    wb = Window.partitionBy("b").orderBy(
+        F.asc("best_level"), F.desc("n_bands"), F.asc("a")
+    )
+    return (
+        agg.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rb", F.row_number().over(wb))
+        .where(
+            (F.col("_ra") <= max_cand_per_item) | (F.col("_rb") <= max_cand_per_item)
+        )
+        .drop("_ra", "_rb")
+    )
 
 
 def bucket_census(bands_df: DataFrame, id_col: str = "conv_id", bucket_cap: int = 64) -> dict:

@@ -74,9 +74,9 @@ def one_perm_signature(
         )
         .select(
             F.col("_g").alias(group_col),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda i: F.element_at(F.col("mm"), i.cast("long")),
+            # static unroll (codegen) instead of interpreted transform()
+            F.array(
+                *[F.element_at(F.col("mm"), F.lit(i).cast("long")) for i in range(m)]
             ).alias("sig"),
             F.col("n_shingles"),
         )
@@ -261,6 +261,40 @@ def kmv_cardinality_col(bottomk: Column, k: int, hash_bits: int = 64) -> Column:
     return F.when(
         F.size(bottomk) >= k, F.lit(float(k - 1)) * F.lit(rng) / kth
     ).otherwise(F.size(bottomk).cast("double"))
+
+
+def bbit_truncate_col(sig: Column, b: int) -> Column:
+    """Keep the low b bits of each register (reference finalize(b),
+    bbmh.h:1622-1646 — minus the bit-transposed packing, which parquet
+    encoding replaces).  Compare with arrays.bbit_jaccard_col(frac, b)."""
+    mask = (1 << b) - 1
+    return F.transform(sig, lambda v: v.bitwiseAND(F.lit(mask)))
+
+
+def compress_signature_col(sig: Column, p: int, p_new: int) -> Column:
+    """Fold 2^p registers down to 2^p_new by group-min (reference
+    BBitMinHasher::compress, bbmh.h:933-951): register i of the compressed
+    sketch = min over registers {i, i + m', i + 2m', ...}."""
+    m_new = 1 << p_new
+    ratio = (1 << p) // m_new
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_new - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ratio - 1)),
+                lambda j: F.get(sig, i + j * m_new),
+            )
+        ),
+    )
+
+
+def containment_col(a: Column, b: Column) -> Column:
+    """Exact containment |A∩B| / |A| over shingle arrays (the asymmetric
+    containment_matrix analog, pysketch.h:142-149)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return F.when(F.size(a) > 0, inter / F.size(a).cast("double")).otherwise(
+        F.lit(0.0)
+    )
 
 
 def bottomk_jaccard_py(a: list[int], b: list[int], k: int) -> float:

@@ -120,24 +120,18 @@ def substring_candidate_pairs(fps: DataFrame, id_col: str = "conv_id") -> DataFr
         )
         .where(F.size("items") >= 2)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("items") - 1),
-                    lambda i: F.transform(
-                        F.sequence(i + 1, F.size("items")),
-                        lambda j: F.struct(
-                            F.element_at("items", i).getField(id_col).alias("a"),
-                            F.element_at("items", j).getField(id_col).alias("b"),
-                            F.element_at("items", i).getField("pos").alias("pos_a"),
-                            F.element_at("items", j).getField("pos").alias("pos_b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.a", "p.b", "p.pos_a", "p.pos_b")
+    # two Generate operators (codegen) instead of nested interpreted HOFs
+    pairs = (
+        buckets.select(F.explode("items").alias("ia"), F.col("items"))
+        .select("ia", F.explode("items").alias("ib"))
+        .where(F.col("ia").getField(id_col) < F.col("ib").getField(id_col))
+        .select(
+            F.col("ia").getField(id_col).alias("a"),
+            F.col("ib").getField(id_col).alias("b"),
+            F.col("ia").getField("pos").alias("pos_a"),
+            F.col("ib").getField("pos").alias("pos_b"),
+        )
+    )
     # keep up to 8 coherent witnesses per pair: (pos_a, pos_b) MUST come from
     # the same fingerprint match or the extension check tests a bogus site.
     return (

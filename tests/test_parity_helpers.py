@@ -1,0 +1,82 @@
+"""Parity helpers: b-bit truncation, register compress, containment,
+multi-level LSH ladder, per-item candidate caps."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sketch_spark.operators import lsh, minhash as MH
+
+
+def test_bbit_truncate_and_corrected_jaccard(spark):
+    from sketch_spark.functions.arrays import bbit_jaccard_col
+
+    sig = [0b1111_0001, 0b1010_0010, 0b0110_0011, 0b0001_0100]
+    df = spark.createDataFrame([(sig,)], "sig array<long>")
+    got = df.select(MH.bbit_truncate_col(F.col("sig"), 4).alias("t")).collect()[0].t
+    assert got == [1, 2, 3, 4]
+    # corrected J at frac=1 is 1; at frac=2^-b it's 0
+    r = spark.range(1).select(
+        bbit_jaccard_col(F.lit(1.0), 4).alias("one"),
+        bbit_jaccard_col(F.lit(2.0 ** -4), 4).alias("zero"),
+    ).collect()[0]
+    assert abs(r.one - 1.0) < 1e-12 and abs(r.zero) < 1e-12
+
+
+def test_compress_signature_group_min(spark):
+    # p=3 (8 regs) -> p_new=2 (4 regs): out[i] = min(sig[i], sig[i+4])
+    sig = [50, 10, 70, 20, 30, 60, 5, 90]
+    df = spark.createDataFrame([(sig,)], "sig array<long>")
+    got = df.select(
+        MH.compress_signature_col(F.col("sig"), 3, 2).alias("c")
+    ).collect()[0].c
+    assert got == [30, 10, 5, 20]
+
+
+def test_containment(spark):
+    df = spark.createDataFrame(
+        [([1, 2, 3, 4], [3, 4, 5, 6, 7, 8])], "a array<long>, b array<long>"
+    )
+    r = df.select(
+        MH.containment_col(F.col("a"), F.col("b")).alias("ab"),
+        MH.containment_col(F.col("b"), F.col("a")).alias("ba"),
+    ).collect()[0]
+    assert abs(r.ab - 0.5) < 1e-12
+    assert abs(r.ba - 2 / 6) < 1e-12
+
+
+def test_multilevel_bands_and_capped_pairs(spark):
+    rng = np.random.default_rng(2)
+    m = 16
+    base = [int(v) for v in rng.integers(0, 2**40, size=m)]
+    near = list(base)
+    near[0] += 1  # differs in register 0 only
+    far = [int(v) for v in rng.integers(0, 2**40, size=m)]
+    df = spark.createDataFrame(
+        [("base", base), ("near", near), ("far", far)],
+        "conv_id string, sig array<long>",
+    )
+    bands = lsh.band_keys_multilevel(df, rprs=(8, 4, 2), m=m)
+    lv = {r.level for r in bands.select("level").distinct().collect()}
+    assert lv == {0, 1, 2}
+    pairs = lsh.candidate_pairs_capped(bands, max_cand_per_item=5)
+    got = {(r.a, r.b): (r.best_level, r.n_bands) for r in pairs.collect()}
+    assert ("base", "near") in got
+    # base/near collide at every level except the bands containing reg 0:
+    # best_level 0 (one of the two 8-register bands matches)
+    assert got[("base", "near")][0] == 0
+    assert ("base", "far") not in got and ("far", "near") not in got
+
+
+def test_capped_pairs_respects_per_item_cap(spark):
+    # star: hub collides with 20 spokes in one bucket
+    rows = [("hub", 0, 1)] + [(f"s{i:02d}", 0, 1) for i in range(20)]
+    bands = spark.createDataFrame(rows, "conv_id string, band int, key long")
+    pairs = lsh.candidate_pairs_capped(bands, bucket_cap=64, max_cand_per_item=3)
+    per_item = {}
+    for r in pairs.collect():
+        per_item[r.a] = per_item.get(r.a, 0) + 1
+        per_item[r.b] = per_item.get(r.b, 0) + 1
+    # hub is 'hub' > 's19' lexicographically... every pair keeps rows where
+    # either side is within its cap; each spoke keeps its top-3 partners
+    assert all(v >= 1 for v in per_item.values())
+    assert len(pairs.collect()) < 20 * 21 / 2  # cap actually pruned
