@@ -1,0 +1,98 @@
+"""Membership operators — the Bloom-filter surface (reference bf.h).
+
+At the DataFrame level, membership IS a join: `may_contain` (bf.h:623-676)
+maps to left_semi, negative membership to left_anti — exact, shuffle-
+partitioned, and Catalyst already builds runtime Bloom filters for join
+pruning (spark.sql.optimizer.runtime.bloomFilter.enabled).
+
+A materialized Bloom bitset is still useful as a *compact broadcastable
+prefilter* when the probe side is huge and the build side must ship to
+every executor; `bloom_build`/`bloom_may_contain_col` provide that in pure
+relational form: the "bitset" is an array<long> built by one aggregation
+(bitwise-OR monoid = bf.cpp:25-35 merge semantics), probed by a JVM
+expression.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def semi_join(probe: DataFrame, build: DataFrame, on: list[str]) -> DataFrame:
+    """rows of probe whose key appears in build — bf.may_contain == true."""
+    return probe.join(build.select(*on).distinct(), on, "left_semi")
+
+
+def anti_join(probe: DataFrame, build: DataFrame, on: list[str]) -> DataFrame:
+    """rows of probe whose key does NOT appear in build."""
+    return probe.join(build.select(*on).distinct(), on, "left_anti")
+
+
+def bloom_params(n: int, fpr: float = 0.01) -> tuple[int, int]:
+    """(#bits rounded to a multiple of 64, #hash functions) for n elems."""
+    m = max(64, int(-n * math.log(fpr) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2))) if n else 1
+    return m, k
+
+
+def bloom_build(
+    elems: DataFrame, key_col: str, n_bits: int, n_hashes: int
+) -> DataFrame:
+    """One-row DataFrame with `bits array<long>` (n_bits/64 words).
+
+    Word/bit positions from xxhash64(key, seed i); aggregation is
+    bit_or per word — the commutative monoid union of bf.cpp:25-35.
+    """
+    n_words = n_bits // 64
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    pos = elems.select(F.col(key_col).alias("_k"), seeds).select(
+        F.pmod(F.xxhash64(F.col("_k"), F.col("seed")), F.lit(n_bits)).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            # dynamic shift amount needs the SQL form
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("mm")
+    ).select(
+        F.array(
+            *[
+                F.coalesce(F.element_at(F.col("mm"), F.lit(i)), F.lit(0).cast("long"))
+                for i in range(n_words)
+            ]
+        ).alias("bits")
+    )
+
+
+def bloom_probe(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    n_bits: int,
+    n_hashes: int,
+    out_col: str = "may_contain",
+) -> DataFrame:
+    """Probe rows against the (broadcast) one-row bloom table.
+
+    maybe-present <=> every one of the k probed bits is set.  No false
+    negatives (bf.h:623-676 contract).  The dynamic bit shift needs the SQL
+    form (shift amounts as columns aren't supported by the Python DSL).
+    """
+    joined = probe.crossJoin(F.broadcast(bloom))
+    cond = None
+    for s in range(n_hashes):
+        c = F.expr(
+            f"(shiftright(get(bits, CAST(pmod(xxhash64({key_col}, {s}), {n_bits}) / 64 AS INT)), "
+            f"CAST(pmod(xxhash64({key_col}, {s}), {n_bits}) % 64 AS INT)) & 1) = 1"
+        )
+        cond = c if cond is None else (cond & c)
+    return joined.withColumn(out_col, cond).drop("bits")

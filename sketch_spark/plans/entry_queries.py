@@ -883,6 +883,120 @@ FROM walk GROUP BY node
 
 
 # ---------------------------------------------------------------------------
+# q20 — asymmetric containment pairs (containment_matrix analog,
+#        pysketch.h:142-149) over exact distinct shingle sets
+# ---------------------------------------------------------------------------
+
+CONT_MIN = 10
+
+
+def q20_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingle_hashes(spark, sf_dir)
+    d = sh.select(
+        "doc_id", "source", F.array_distinct("shingles").alias("u")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.u"), F.col("b.u")))
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("a_doc"),
+            F.col("b.doc_id").alias("b_doc"),
+            inter.cast("long").alias("n_inter"),
+            F.size(F.col("a.u")).cast("long").alias("n_a"),
+        )
+        .where(F.col("n_inter") >= CONT_MIN)
+    )
+
+
+Q20_SQL = (
+    SQL_DOC_SHINGLE_HASHES
+    + f"""
+, d AS (SELECT doc_id, source, list_distinct(shingles) AS u FROM sh)
+SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+  CAST(len(list_intersect(a.u, b.u)) AS BIGINT) AS n_inter,
+  CAST(len(a.u) AS BIGINT) AS n_a
+FROM d a JOIN d b ON a.source = b.source AND a.doc_id != b.doc_id
+WHERE len(list_intersect(a.u, b.u)) >= {CONT_MIN}
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# q21/q22 — membership predicates: semi / anti join (bf.may_contain analog)
+# ---------------------------------------------------------------------------
+
+
+def q21_orders_with_heavy_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_quantity") > 45
+    )
+    return o.join(
+        li.select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+        "o_orderkey",
+        "left_semi",
+    ).select("o_orderkey", "o_custkey")
+
+
+Q21_SQL = """
+SELECT o_orderkey, o_custkey FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+"""
+
+
+def q22_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+Q22_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q23 — HLL approximate distinct (rows-only check: estimate is approximate
+#        by design, so no value oracle; the register-exact variant is unit-
+#        tested against |est-truth| <= 2*err in tests/test_sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def q23_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).cast("long").alias("approx_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — exact median (quantile surface; p=0.5 keeps interpolation exact in
+#        binary floating point: results are x.0 or x.5)
+# ---------------------------------------------------------------------------
+
+
+def q24_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_linestatus").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty")
+    )
+
+
+Q24_SQL = """
+SELECT l_linestatus, quantile_cont(l_quantity, 0.5) AS median_qty
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -906,6 +1020,11 @@ QUERIES = {
     "q17_user_sessions": q17_user_sessions,
     "q18_lineitem_agg": q18_lineitem_agg,
     "q19_cc_clusters": q19_cc_clusters,
+    "q20_containment_pairs": q20_containment_pairs,
+    "q21_orders_with_heavy_lineitem": q21_orders_with_heavy_lineitem,
+    "q22_customers_without_orders": q22_customers_without_orders,
+    "q23_hll_distinct_users": q23_hll_distinct_users,
+    "q24_median_quantity": q24_median_quantity,
 }
 
 ORACLES = {
@@ -928,4 +1047,9 @@ ORACLES = {
     "q17_user_sessions": Q17_SQL,
     "q18_lineitem_agg": Q18_SQL,
     "q19_cc_clusters": Q19_SQL,
+    "q20_containment_pairs": Q20_SQL,
+    "q21_orders_with_heavy_lineitem": Q21_SQL,
+    "q22_customers_without_orders": Q22_SQL,
+    # q23 intentionally has no oracle: approximate estimator -> rows-only
+    "q24_median_quantity": Q24_SQL,
 }
