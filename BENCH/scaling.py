@@ -31,12 +31,48 @@ def corpus_path(scale: int) -> str:
 
 def ensure_corpus(spark, scale: int) -> str:
     path = corpus_path(scale)
-    if not os.path.exists(path):
+    truth = path.replace("transcripts_", "truth_clusters_")
+    if not (os.path.exists(path) and os.path.exists(truth)):
         corpus = synth.generate(synth.SynthConfig(scale=scale))
-        t, _, _ = synth.to_spark(spark, corpus)
+        t, _, tc = synth.to_spark(spark, corpus)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         t.write.mode("overwrite").parquet(path)
+        tc.write.mode("overwrite").parquet(truth)
     return path
+
+
+def measure_recall(spark, clusters, scale: int) -> dict:
+    """Same-cluster dup-pair recall + extra pairs vs cached truth — computed
+    from the truth x pipeline contingency table (sum of C(n,2) per cell),
+    never materializing pairs (the boilerplate cluster alone would be
+    ~10^8 pairs at bench scale)."""
+    from pyspark.sql import functions as F
+
+    truth_path = corpus_path(scale).replace("transcripts_", "truth_clusters_")
+    truth = spark.read.parquet(truth_path).withColumnRenamed("cluster_id", "tc")
+    both = clusters.select("conv_id", F.col("cluster_id").alias("pc")).join(
+        truth, "conv_id"
+    )
+
+    def pair_sum(df, cols):
+        return (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.expr("n * (n - 1) / 2")).alias("p"))
+            .collect()[0]
+            .p
+            or 0
+        )
+
+    truth_pairs = int(pair_sum(both, ["tc"]))
+    pipe_pairs = int(pair_sum(both, ["pc"]))
+    cell_pairs = int(pair_sum(both, ["tc", "pc"]))  # pairs agreeing in both
+    return {
+        "truth_pairs": truth_pairs,
+        "recalled": cell_pairs,
+        "recall": round(cell_pairs / max(truth_pairs, 1), 6),
+        "extra_pairs": pipe_pairs - cell_pairs,
+    }
 
 
 def main() -> None:
@@ -54,6 +90,11 @@ def main() -> None:
     out = pipe.run(t)
     out["clusters"].count()
     wall = time.time() - t0
+    rec = (
+        measure_recall(spark, out["clusters"], scale)
+        if os.environ.get("SCALING_RECALL", "0") == "1"
+        else {}
+    )
     print(
         json.dumps(
             {
@@ -64,6 +105,7 @@ def main() -> None:
                 "turns_per_sec": round(n_turns / wall, 1),
                 "stages": {e["stage"]: e.get("seconds") for e in pipe.ckpt.log},
                 "counters": pipe.counters,
+                **rec,
             }
         )
     )

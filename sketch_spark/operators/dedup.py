@@ -50,6 +50,10 @@ class DedupConfig:
     substring_L: int = 200
     substring_k: int = 50
     enable_substring: bool = True
+    # optional secondary SimHash Hamming verification (north-rule surface;
+    # redundant when exact verification is on, so default off)
+    use_simhash_verify: bool = False
+    simhash_max_hamming: int = 16
 
     def config_hash(self) -> str:
         return hashlib.sha256(
@@ -214,6 +218,13 @@ class DedupPipeline:
         sig = self.sig_stage(conv)
         exact = self.exact_stage(conv)
         cands = self.cands_stage(sig)
+        if self.cfg.use_simhash_verify:
+            from sketch_spark.operators import simhash as sh_mod
+
+            sims = sh_mod.simhash_signatures_np(conv, "shingles", "conv_id")
+            cands = sh_mod.hamming_filter(
+                cands, sims, max_hamming=self.cfg.simhash_max_hamming
+            ).select("a", "b", "n_bands")
         verified = self.verify_stage(cands, sig, conv)
         edges = exact.select("a", "b").union(verified.select("a", "b"))
         if self.cfg.enable_substring:

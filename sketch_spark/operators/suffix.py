@@ -105,23 +105,34 @@ def winnow_fingerprints(
     )
 
 
-def substring_candidate_pairs(fps: DataFrame, id_col: str = "conv_id") -> DataFrame:
-    """fingerprints -> candidate pairs with one witness position each side.
+def substring_candidate_pairs(
+    fps: DataFrame, id_col: str = "conv_id", cap: int = 32
+) -> DataFrame:
+    """fingerprints -> candidate pairs with coherent witness positions.
 
-    Equi-join on fp realized as groupBy(fp) + in-bucket pair expansion (same
-    pattern as LSH buckets; hot fingerprints capped deterministically)."""
-    cap = 32
+    Same hot-bucket strategy as lsh.candidate_pairs: rank members within a
+    fingerprint bucket by xxhash64(id, fp); the first `cap` form a clique,
+    members beyond the cap link to the bucket's rank-1 root (template
+    conversations share every fingerprint — plain truncation would
+    disconnect them).  (pos_a, pos_b) always come from the same fp bucket,
+    so every witness pair marks the same matching k-gram.
+    """
+    from pyspark.sql import Window
+
+    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+    multi = counts.where(F.col("_n") >= 2).select("fp")
+    mf = fps.join(multi, ["fp"])
+    w = Window.partitionBy("fp").orderBy(
+        F.xxhash64(F.col(id_col), F.col("fp")), F.col(id_col)
+    )
+    ranked = mf.withColumn("_rn", F.row_number().over(w))
+    heads = ranked.where(F.col("_rn") <= cap)
     buckets = (
-        fps.groupBy("fp")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct(id_col, "pos"))), 1, cap
-            ).alias("items")
-        )
+        heads.groupBy("fp")
+        .agg(F.array_sort(F.collect_list(F.struct(id_col, "pos"))).alias("items"))
         .where(F.size("items") >= 2)
     )
-    # two Generate operators (codegen) instead of nested interpreted HOFs
-    pairs = (
+    head_pairs = (
         buckets.select(F.explode("items").alias("ia"), F.col("items"))
         .select("ia", F.explode("items").alias("ib"))
         .where(F.col("ia").getField(id_col) < F.col("ib").getField(id_col))
@@ -132,8 +143,20 @@ def substring_candidate_pairs(fps: DataFrame, id_col: str = "conv_id") -> DataFr
             F.col("ib").getField("pos").alias("pos_b"),
         )
     )
-    # keep up to 8 coherent witnesses per pair: (pos_a, pos_b) MUST come from
-    # the same fingerprint match or the extension check tests a bogus site.
+    roots = ranked.where(F.col("_rn") == 1).select(
+        "fp", F.col(id_col).alias("_rid"), F.col("pos").alias("_rpos")
+    )
+    tails = (
+        ranked.where(F.col("_rn") > cap)
+        .join(roots, ["fp"])
+        .select(
+            F.when(F.col(id_col) < F.col("_rid"), F.col(id_col)).otherwise(F.col("_rid")).alias("a"),
+            F.when(F.col(id_col) < F.col("_rid"), F.col("_rid")).otherwise(F.col(id_col)).alias("b"),
+            F.when(F.col(id_col) < F.col("_rid"), F.col("pos")).otherwise(F.col("_rpos")).alias("pos_a"),
+            F.when(F.col(id_col) < F.col("_rid"), F.col("_rpos")).otherwise(F.col("pos")).alias("pos_b"),
+        )
+    )
+    pairs = head_pairs.unionByName(tails)
     return (
         pairs.where(F.col("a") != F.col("b"))
         .groupBy("a", "b")

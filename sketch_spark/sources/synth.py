@@ -70,13 +70,20 @@ class SynthCorpus:
     config: SynthConfig = field(default_factory=SynthConfig)
 
 
+_WORDS_ARR = np.array(_WORDS)
+
+
 def _mk_turns(rng: np.random.Generator, cfg: SynthConfig, n_turns: int | None = None) -> list[str]:
     nt = int(n_turns or rng.integers(cfg.turns_lo, cfg.turns_hi + 1))
+    # batch the RNG work: one draw for all token counts, one for all tokens
+    ks = rng.integers(cfg.toks_lo, cfg.toks_hi + 1, size=nt)
+    idx = rng.integers(0, len(_WORDS), size=int(ks.sum()))
+    toks = _WORDS_ARR[idx]
     out = []
-    for _ in range(nt):
-        k = int(rng.integers(cfg.toks_lo, cfg.toks_hi + 1))
-        idx = rng.integers(0, len(_WORDS), size=k)
-        out.append(" ".join(_WORDS[i] for i in idx))
+    pos = 0
+    for k in ks:
+        out.append(" ".join(toks[pos : pos + k]))
+        pos += k
     return out
 
 
@@ -209,20 +216,37 @@ def generate(cfg: SynthConfig | None = None) -> SynthCorpus:
     # share a verbatim span >= substring-detection length L (clone families
     # below tau still share long unmodified turn runs — those ARE duplicates
     # per the north rule's suffix/substring criterion).
-    from difflib import SequenceMatcher
+    def _shares_span(a_id: str, b_id: str, L: int = 200, k: int = 50) -> bool:
+        """Fast 'longest common substring >= L' test: shared k-gram rolling
+        hash + maximal extension around one witness (same guarantee family
+        as the pipeline's winnowing pass; O(n) per pair vs O(n^2) LCS)."""
+        from sketch_spark.operators.suffix import _kgram_hashes
 
-    def _lcs_len(a_id: str, b_id: str) -> int:
         a = SEP.join(convs[a_id])
         b = SEP.join(convs[b_id])
-        m = SequenceMatcher(None, a, b, autojunk=False).find_longest_match(
-            0, len(a), 0, len(b)
-        )
-        return m.size
+        ab = a.encode()
+        bb = b.encode()
+        ha = _kgram_hashes(ab, k)
+        hb = _kgram_hashes(bb, k)
+        if ha.size == 0 or hb.size == 0:
+            return False
+        common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
+        na, nb = len(ab), len(bb)
+        for pa, pb in zip(ia.tolist(), ib.tolist()):
+            l = 0
+            while pa - l - 1 >= 0 and pb - l - 1 >= 0 and ab[pa - l - 1] == bb[pb - l - 1]:
+                l += 1
+            r = 0
+            while pa + r < na and pb + r < nb and ab[pa + r] == bb[pb + r]:
+                r += 1
+            if l + r >= L:
+                return True
+        return False
 
     substr_detectable = pdf.apply(
         lambda r: r.exact_jaccard < cfg.tau_truth
         and r.family != "substring"
-        and _lcs_len(r.a_conv_id, r.b_conv_id) >= 200,
+        and _shares_span(r.a_conv_id, r.b_conv_id),
         axis=1,
     ) if len(pdf) else pd.Series(dtype=bool)
     pdf["substr_detectable"] = substr_detectable

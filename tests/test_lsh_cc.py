@@ -34,17 +34,33 @@ def test_candidate_pairs_and_counts(spark):
     assert pairs == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
 
 
-def test_bucket_cap_deterministic(spark):
+def test_bucket_cap_clique_plus_root_links(spark):
     ids = [f"c{i:02d}" for i in range(10)]
     rows = [(i, 0, 7) for i in ids]
     bands = spark.createDataFrame(rows, "conv_id string, band int, key long")
     pairs = lsh.candidate_pairs(bands, bucket_cap=4).collect()
-    # only the 4 smallest ids participate: C(4,2)=6 pairs
-    assert len(pairs) == 6
+    # first 4 (hash order) form a clique C(4,2)=6; the other 6 each link
+    # once to the bucket root -> 12 pairs, EVERY id participates
+    assert len(pairs) == 12
     touched = {x for r in pairs for x in (r.a, r.b)}
-    assert touched == set(ids[:4])
+    assert touched == set(ids)
+    # connectivity: union-find over the pairs gives one component
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        parent[find(r.a)] = find(r.b)
+    assert len({find(i) for i in ids}) == 1
     census = lsh.bucket_census(bands, bucket_cap=4)
-    assert census["buckets_over_cap"] == 1 and census["ids_dropped"] == 6
+    assert census["buckets_over_cap"] == 1 and census["ids_root_linked"] == 6
+    # determinism: same input -> same pairs
+    again = lsh.candidate_pairs(bands, bucket_cap=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, pairs))
 
 
 def test_verify_pairs_frac_eq(spark):

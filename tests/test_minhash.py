@@ -120,3 +120,25 @@ def test_empty_and_single(spark):
     sig = MH.densify_signatures(MH.one_perm_signature(df, p=4), "sig", p=4)
     r = sig.collect()[0]
     assert None not in r.sig and len(r.sig) == 16
+
+
+def test_counting_bottom_k_weighted_jaccard(spark):
+    # multisets with known weighted overlap
+    rows = (
+        [("A", 1)] * 3 + [("A", 2)] * 2 + [("A", 3)] * 1
+        + [("B", 1)] * 1 + [("B", 2)] * 2 + [("B", 4)] * 5
+    )
+    df = spark.createDataFrame(rows, "conv_id string, h long")
+    bk = MH.bottom_k_counting(df, k=16)
+    got = {r.conv_id: [(s.h, s.cnt) for s in r.minimizers] for r in bk.collect()}
+    assert got["A"] == [(1, 3), (2, 2), (3, 1)]
+    assert got["B"] == [(1, 1), (2, 2), (4, 5)]
+    # weighted jaccard: min sums = 1(h1)+2(h2)=3; denom = 6+8-3=11
+    exp = MH.weighted_jaccard_py(got["A"], got["B"])
+    assert abs(exp - 3 / 11) < 1e-12
+    pair = (
+        bk.where(F.col("conv_id") == "A").select(F.col("minimizers").alias("a"))
+        .crossJoin(bk.where(F.col("conv_id") == "B").select(F.col("minimizers").alias("b")))
+    )
+    jvm = pair.select(MH.weighted_jaccard_col(F.col("a"), F.col("b")).alias("j")).collect()[0].j
+    assert abs(jvm - exp) < 1e-12

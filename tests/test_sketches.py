@@ -138,3 +138,15 @@ def test_multimodal_plumbing(spark):
     plan = multimodal.frame_sample_plan(media, every_n=10)
     vid = media.where(F.col("kind") == "video").count()
     assert plan.select("media_id").distinct().count() == vid
+
+
+def test_simhash_np_matches_sql(spark):
+    rng = np.random.default_rng(21)
+    rows = [
+        (f"c{i}", [int(np.int64(v)) for v in rng.integers(0, 2**64, size=n, dtype=np.uint64)])
+        for i, n in enumerate((1, 5, 64, 300))
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, shingles array<long>")
+    sql_out = {r.conv_id: r.simhash for r in simhash.simhash_signatures(df).collect()}
+    np_out = {r.conv_id: r.simhash for r in simhash.simhash_signatures_np(df).collect()}
+    assert sql_out == np_out
