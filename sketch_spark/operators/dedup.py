@@ -151,15 +151,10 @@ class DedupPipeline:
         cfg = self.cfg
 
         def build():
-            # exploded + hash-agg variant: higher-order array functions are
-            # interpreted per element in Spark, while explode + two-level
-            # min-agg stays in whole-stage codegen with map-side combine —
-            # measured ~8x faster than the per-register array-filter form.
+            # exploded + codegen min-agg, fused sparse->dense+densify numpy
+            # stage (no map pivot; see one_perm_signature_fast docstring)
             ex = conv.select("conv_id", F.explode("shingles").alias("h"))
-            sig = minhash.one_perm_signature(ex, "conv_id", "h", cfg.p).select(
-                "conv_id", "sig"
-            )
-            return minhash.densify_signatures(sig, "sig", cfg.p)
+            return minhash.one_perm_signature_fast(ex, "conv_id", "h", cfg.p)
 
         return self.ckpt.run("sig", build)
 

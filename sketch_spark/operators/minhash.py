@@ -84,6 +84,65 @@ def one_perm_signature(
     return sig
 
 
+def one_perm_signature_fast(
+    shingles: DataFrame,
+    group_col: str = "conv_id",
+    hash_col: str = "h",
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """one_perm_signature + densification fused, without the map pivot.
+
+    The two-level agg variant pays ~120 us/row building the dense array via
+    128 element_at(map) lookups (measured: the pivot alone cost 56 s at
+    466k convs while the actual min-aggregation cost 2.5 s).  Here the
+    sparse (bucket, min) entries go straight into the densify numpy stage,
+    which scatters them into the dense register matrix with one vectorized
+    assignment.  Output: (group, sig array<long> fully densified, or null
+    for empty groups).
+    """
+    m = 1 << p
+    vb = _value_bits(p)
+    mask = (1 << vb) - 1
+    per_bucket = (
+        shingles.select(
+            F.col(group_col).alias("_g"),
+            F.shiftrightunsigned(F.col(hash_col), vb).alias("bucket"),
+            F.col(hash_col).bitwiseAND(F.lit(mask)).alias("value"),
+        )
+        .groupBy("_g", "bucket")
+        .agg(F.min("value").alias("mv"))
+    )
+    entries = (
+        per_bucket.groupBy("_g")
+        .agg(F.collect_list(F.struct("bucket", "mv")).alias("e"))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("e").getField("bucket").alias("_bks"),
+            F.col("e").getField("mv").alias("_vals"),
+        )
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            bks = pdf["_bks"].tolist()
+            vals = pdf["_vals"].tolist()
+            n = len(bks)
+            lens = np.fromiter((len(b) for b in bks), dtype=np.int64, count=n)
+            rows = np.repeat(np.arange(n), lens)
+            cols = np.concatenate([np.asarray(b, dtype=np.int64) for b in bks]) if n else np.empty(0, np.int64)
+            vv = np.concatenate([np.asarray(v, dtype=np.float64) for v in vals]) if n else np.empty(0)
+            mat = np.full((n, m), np.nan)
+            mat[rows, cols] = vv
+            empty = np.isnan(mat)
+            dense = densify_batch(mat, empty, m)
+            all_empty = empty.all(axis=1)
+            lists = dense.astype(np.int64).tolist()
+            out = [None if all_empty[r] else lists[r] for r in range(n)]
+            yield pd.DataFrame({group_col: pdf[group_col], "sig": out})
+
+    return entries.mapInPandas(gen, schema=f"{group_col} string, sig array<long>")
+
+
 def one_perm_signature_from_array(
     df: DataFrame,
     arr_col: str = "shingles",

@@ -146,8 +146,17 @@ def substring_candidate_pairs(
     roots = ranked.where(F.col("_rn") == 1).select(
         "fp", F.col(id_col).alias("_rid"), F.col("pos").alias("_rpos")
     )
+    # subsample tail links ~1-in-8 fingerprints per member (template convs
+    # share dozens of hot fingerprints; one verified root link connects a
+    # member, a handful gives redundancy — all of them is pure waste)
     tails = (
-        ranked.where(F.col("_rn") > cap)
+        ranked.where(
+            (F.col("_rn") > cap)
+            & (
+                (F.col("_rn") <= cap + 8)
+                | (F.pmod(F.xxhash64("fp", F.col(id_col)), F.lit(8)) == 0)
+            )
+        )
         .join(roots, ["fp"])
         .select(
             F.when(F.col(id_col) < F.col("_rid"), F.col(id_col)).otherwise(F.col("_rid")).alias("a"),

@@ -142,3 +142,15 @@ def test_counting_bottom_k_weighted_jaccard(spark):
     )
     jvm = pair.select(MH.weighted_jaccard_col(F.col("a"), F.col("b")).alias("j")).collect()[0].j
     assert abs(jvm - exp) < 1e-12
+
+
+def test_one_perm_fast_equals_two_stage(spark):
+    a, b, _ = _planted_sets(n=400, olap=150)
+    rng = np.random.default_rng(6)
+    sparse = rng.integers(0, 2**63, size=5).astype(np.int64)
+    df = _shingle_df(spark, {"A": a, "B": b, "S": sparse})
+    slow = MH.densify_signatures(MH.one_perm_signature(df, p=6).select("conv_id", "sig"), "sig", p=6)
+    fast = MH.one_perm_signature_fast(df, p=6)
+    r1 = {r.conv_id: r.sig for r in slow.collect()}
+    r2 = {r.conv_id: r.sig for r in fast.collect()}
+    assert r1 == r2
