@@ -190,16 +190,52 @@ def verify_substring_pairs(
     tb = conv.select(F.col(id_col).alias("b"), F.col(text_col).alias("_tb"))
     joined = cands.join(ta, "a").join(tb, "b")
 
+    # Extract a +/-L window around each witness JVM-side so only ~(2L+k)-char
+    # segments cross Arrow instead of full conversation texts (~5x less
+    # transfer; this stage dominated pipeline wall time before).  A segment
+    # of 2L+k suffices to certify span >= L: the witness k-gram always
+    # matches (r >= k), so min(l, L-1) + min(r, L+k) >= L whenever the true
+    # span is >= L.
+    seg = 2 * L + 64
+
+    def _segments(text_col_name: str, pos_field: str):
+        return F.transform(
+            F.col("witnesses"),
+            lambda w: F.substring(
+                F.col(text_col_name),
+                F.greatest(w.getField(pos_field) - (L - 1), F.lit(0)) + 1,
+                seg,
+            ),
+        )
+
+    def _rel(pos_field: str):
+        return F.transform(
+            F.col("witnesses"),
+            lambda w: w.getField(pos_field)
+            - F.greatest(w.getField(pos_field) - (L - 1), F.lit(0)),
+        )
+
+    joined = (
+        joined.withColumn("_sega", _segments("_ta", "pos_a"))
+        .withColumn("_segb", _segments("_tb", "pos_b"))
+        .withColumn("_rela", _rel("pos_a"))
+        .withColumn("_relb", _rel("pos_b"))
+    )
+
     @F.pandas_udf("int")
-    def span_len(ta_s: pd.Series, tb_s: pd.Series, wit_s: pd.Series) -> pd.Series:
-        out = np.zeros(len(ta_s), dtype=np.int32)
-        for i, (sa, sb, wits) in enumerate(zip(ta_s, tb_s, wit_s)):
-            if sa is None or sb is None or wits is None:
+    def span_len(
+        sega_s: pd.Series, segb_s: pd.Series, rela_s: pd.Series, relb_s: pd.Series
+    ) -> pd.Series:
+        out = np.zeros(len(sega_s), dtype=np.int32)
+        for i, (segs_a, segs_b, rels_a, rels_b) in enumerate(
+            zip(sega_s, segb_s, rela_s, relb_s)
+        ):
+            if segs_a is None or segs_b is None:
                 continue
             best = 0
-            na, nb = len(sa), len(sb)
-            for w in wits:
-                pa, pb = int(w["pos_a"]), int(w["pos_b"])
+            for sa, sb, pa, pb in zip(segs_a, segs_b, rels_a, rels_b):
+                pa, pb = int(pa), int(pb)
+                na, nb = len(sa), len(sb)
                 l = 0
                 while pa - l - 1 >= 0 and pb - l - 1 >= 0 and sa[pa - l - 1] == sb[pb - l - 1]:
                     l += 1
@@ -213,7 +249,7 @@ def verify_substring_pairs(
         return pd.Series(out)
 
     return (
-        joined.withColumn("span", span_len("_ta", "_tb", "witnesses"))
+        joined.withColumn("span", span_len("_sega", "_segb", "_rela", "_relb"))
         .where(F.col("span") >= L)
         .select("a", "b", "span")
     )
