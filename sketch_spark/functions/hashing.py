@@ -213,16 +213,16 @@ def poly_combine_sql(exprs: list[str]) -> str:
     return acc
 
 
-def poly_hash_py(s: str) -> int:
-    """Python mirror of poly_hash_token_col/sql for unit tests."""
+def poly_hash_py(s: str, b: int = POLY_B, p: int = POLY_P) -> int:
+    """Python mirror of poly_hash_token_col/sql (parameterized family)."""
     h = 0
     for ch in s:
-        h = (h * POLY_B + ord(ch)) % POLY_P
+        h = (h * b + ord(ch)) % p
     return h
 
 
-def poly_combine_py(hashes: list[int]) -> int:
+def poly_combine_py(hashes: list[int], tb: int = POLY_TOKEN_B, p: int = POLY_P) -> int:
     acc = hashes[0]
     for h in hashes[1:]:
-        acc = (acc * POLY_TOKEN_B + h) % POLY_P
+        acc = (acc * tb + h) % p
     return acc

@@ -24,6 +24,16 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
 
 
+def tokens_py(text: str) -> list[str]:
+    """Python mirror of tokens_col.  Java's regex \\s is the ASCII class
+    [ \\t\\n\\x0B\\f\\r] (unlike Python's unicode-aware \\s), so the class is
+    spelled out to keep all three engines (Spark, DuckDB/RE2, this mirror)
+    identical."""
+    import re
+
+    return [t for t in re.split("[ \t\n\x0b\f\r]+", text) if t]
+
+
 def word_shingles_col(toks: Column, n: int = 3) -> Column:
     """Array of word n-gram shingle strings (space-joined), L-n+1 of them.
 

@@ -78,6 +78,7 @@ def document_clusters(
     conv = docs.select(
         ids.alias("conv_id"),
         F.xxhash64(F.col(text_col), F.lit(cfg.seed)).alias("full_hash"),
+        F.xxhash64(F.col(text_col), F.lit(cfg.seed + 1)).alias("full_hash2"),
         F.array_sort(
             F.array_distinct(T.shingle_hashes_col(F.col(text_col), cfg.shingle_n, cfg.seed))
         ).alias("shingles"),

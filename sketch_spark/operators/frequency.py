@@ -13,8 +13,15 @@
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def xxhash_family(key: Column, seed: Column) -> Column:
+    """Default CM hash family: JVM xxhash64 seeded per row (fast path)."""
+    return F.xxhash64(key, seed)
 
 
 def top_k(
@@ -30,18 +37,21 @@ def cm_sketch(
     key_col: str,
     d: int = 4,
     w: int = 1 << 14,
+    hash_fn: Callable[[Column, Column], Column] = xxhash_family,
 ) -> DataFrame:
     """Build a Count-Min table: (seed, bucket, cnt) rows; d*w cells max.
 
-    bucket_i(x) = pmod(xxhash64(x, seed_i), w).  Commutative-monoid counts:
-    partial+final agg, exactly the reference's per-cell saturating adds
-    (ccm.h) without the saturation (64-bit counts don't overflow here).
+    bucket_i(x) = pmod(hash_fn(x, seed_i), w); the default family is JVM
+    xxhash64, the oracle tier passes an engine-portable affine mod-prime
+    family.  Commutative-monoid counts: partial+final agg, exactly the
+    reference's per-cell saturating adds (ccm.h) without the saturation
+    (64-bit counts don't overflow here).
     """
     seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
     ex = elems.select(F.col(key_col).alias("_k"), seeds)
     cells = ex.select(
         "seed",
-        F.pmod(F.xxhash64(F.col("_k"), F.col("seed")), F.lit(w)).alias("bucket"),
+        F.pmod(hash_fn(F.col("_k"), F.col("seed")), F.lit(w)).alias("bucket"),
     )
     return cells.groupBy("seed", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
@@ -54,6 +64,7 @@ def cm_query(
     key_col: str,
     d: int = 4,
     w: int = 1 << 14,
+    hash_fn: Callable[[Column, Column], Column] = xxhash_family,
 ) -> DataFrame:
     """Point-frequency estimates for `keys`: est = min over d rows
     (ccm.h est_count).  Broadcast the (small, <= d*w) CM table."""
@@ -61,12 +72,100 @@ def cm_query(
     probes = keys.select(F.col(key_col), seeds).select(
         key_col,
         "seed",
-        F.pmod(F.xxhash64(F.col(key_col), F.col("seed")), F.lit(w)).alias("bucket"),
+        F.pmod(hash_fn(F.col(key_col), F.col("seed")), F.lit(w)).alias("bucket"),
     )
     joined = probes.join(F.broadcast(cm), ["seed", "bucket"], "left").fillna(
         {"cnt": 0}
     )
     return joined.groupBy(key_col).agg(F.min("cnt").cast("long").alias("est_count"))
+
+
+def default_sign_family(key: Column, seed: Column) -> Column:
+    """±1 from an independent xxhash64 bit (seed offset decorrelates it from
+    the bucket family)."""
+    return F.lit(1) - 2 * F.pmod(F.xxhash64(key, seed + F.lit(1_000_003)), F.lit(2))
+
+
+def cs_sketch(
+    elems: DataFrame,
+    key_col: str,
+    d: int = 5,
+    w: int = 1 << 14,
+    hash_fn: Callable[[Column, Column], Column] = xxhash_family,
+    sign_fn: Callable[[Column, Column], Column] = default_sign_family,
+) -> DataFrame:
+    """Count sketch (reference cs_t, ccm.h): cell[j, h_j(x)] += s_j(x) with
+    s_j(x) in {-1, +1} — unbiased signed counters, unlike Count-Min's
+    one-sided overestimates.  (seed, bucket, val) rows; sum is the
+    commutative-monoid merge."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
+    ex = elems.select(F.col(key_col).alias("_k"), seeds)
+    cells = ex.select(
+        "seed",
+        F.pmod(hash_fn(F.col("_k"), F.col("seed")), F.lit(w)).alias("bucket"),
+        sign_fn(F.col("_k"), F.col("seed")).alias("_s"),
+    )
+    return cells.groupBy("seed", "bucket").agg(
+        F.sum("_s").cast("long").alias("val")
+    )
+
+
+def cs_query(
+    cs: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 5,
+    w: int = 1 << 14,
+    hash_fn: Callable[[Column, Column], Column] = xxhash_family,
+    sign_fn: Callable[[Column, Column], Column] = default_sign_family,
+) -> DataFrame:
+    """Point-frequency estimate = median over d of s_j(x) * cell[j, h_j(x)]
+    (reference cs_t::est_count, ccm.h).  Odd d keeps the median integral."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
+    probes = keys.select(F.col(key_col), seeds).select(
+        key_col,
+        "seed",
+        F.pmod(hash_fn(F.col(key_col), F.col("seed")), F.lit(w)).alias("bucket"),
+        sign_fn(F.col(key_col), F.col("seed")).alias("_s"),
+    )
+    joined = probes.join(F.broadcast(cs), ["seed", "bucket"], "left").fillna(
+        {"val": 0}
+    )
+    return joined.groupBy(key_col).agg(
+        F.expr("median(_s * val)").cast("long").alias("est_count")
+    )
+
+
+def cs_inner_product(csa: DataFrame, csb: DataFrame, d: int) -> DataFrame:
+    """Join-size / inner-product estimate between two frequency vectors from
+    their count sketches: median over seeds of sum_bucket valA * valB
+    (reference join_size_l2est, ccm.h:218-226 — the Spark-native use is
+    estimating |A JOIN B| before picking a join strategy, what AQE's runtime
+    stats do natively).  Both sketches must share (d, w, hash_fn, sign_fn).
+    One row: est_join_size."""
+    a = csa.select("seed", "bucket", F.col("val").alias("_va"))
+    b = csb.select("seed", "bucket", F.col("val").alias("_vb"))
+    per_seed = (
+        a.join(b, ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("_va") * F.col("_vb")).alias("dot"))
+    )
+    # seeds whose cells never overlap contribute dot = 0; re-materialize all
+    # d seeds so the median is over exactly d values.
+    spark = csa.sparkSession
+    grid = spark.range(d).select(F.col("id").cast("int").alias("seed"))
+    full = grid.join(per_seed, "seed", "left").fillna({"dot": 0})
+    return full.agg(F.expr("median(dot)").cast("long").alias("est_join_size"))
+
+
+def cs_l2_moment(cs: DataFrame, d: int) -> DataFrame:
+    """Second-moment (F2 = sum f_k^2) estimate: median over seeds of
+    sum_bucket val^2 (reference l2est returns its square root)."""
+    per_seed = cs.groupBy("seed").agg(F.sum(F.col("val") * F.col("val")).alias("m2"))
+    spark = cs.sparkSession
+    grid = spark.range(d).select(F.col("id").cast("int").alias("seed"))
+    full = grid.join(per_seed, "seed", "left").fillna({"m2": 0})
+    return full.agg(F.expr("median(m2)").cast("long").alias("est_f2"))
 
 
 def quantiles(

@@ -42,22 +42,34 @@ def hll_registers(
     group_col: str = "g",
     hash_col: str = "h",
     p: int = DEFAULT_P,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """(group, h) -> (group, regs array<int> of length 2^p).
 
-    h must be a well-mixed 64-bit hash (xxhash64).  Register value =
-    1 + #leading-zeros of the low 64-p bits (capped at 64-p+1), i.e. the
-    reference's clz(remaining)+1 (hll.h:886-899), computed here as
-    64-p+1 - bit_length(remaining) via floor(log2).
+    h must be a well-mixed hash of `hash_bits` bits (default: full-range
+    64-bit xxhash64; for hash_bits < 64 the value must be non-negative and
+    < 2^hash_bits — e.g. the engine-portable 60-bit mod-prime hash of the
+    oracle tier).  Register value = 1 + #leading-zeros of the low
+    hash_bits-p bits (capped at hash_bits-p+1), i.e. the reference's
+    clz(remaining)+1 (hll.h:886-899), computed with integer-exact
+    arithmetic.
     """
     m = 1 << p
-    vb = 64 - p
+    vb = hash_bits - p
+    assert vb >= 1
     mask = (1 << vb) - 1
     rem = F.col(hash_col).bitwiseAND(F.lit(mask))
-    # rho = vb - floor(log2(rem)) for rem>0 else vb+1
-    # bit_length(rem) == floor(log2(rem)) + 1
-    rho = F.when(rem == 0, F.lit(vb + 1)).otherwise(
-        F.lit(vb) - F.floor(F.log2(rem.cast("double"))).cast("int")
+    # rho = vb - floor(log2(rem)) for rem>0 else vb+1.  floor(log2(double))
+    # is only exact below 2^53, so split rem into 32-bit halves: each half
+    # is < 2^32 and exactly representable — integer-exact rho for every p
+    # (a direct log2 on a 57-bit value can round across a power of two and
+    # produce an off-by-one rho).
+    hi = F.shiftrightunsigned(rem, 32)
+    lo = rem.bitwiseAND(F.lit(0xFFFFFFFF))
+    rho = (
+        F.when(rem == 0, F.lit(vb + 1))
+        .when(hi > 0, F.lit(vb - 32) - F.floor(F.log2(hi.cast("double"))).cast("int"))
+        .otherwise(F.lit(vb) - F.floor(F.log2(lo.cast("double"))).cast("int"))
     )
     per_bucket = (
         elems.select(
@@ -118,6 +130,41 @@ def hll_estimate_col(regs: Column, p: int = DEFAULT_P) -> Column:
     return F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0), linear
     ).otherwise(raw)
+
+
+def hll_compress_col(regs: Column, p: int, p_new: int) -> Column:
+    """Fold 2^p registers down to 2^p_new (reference hll_t::compress,
+    hll.h:963-985, Ertl arXiv:1702.01284 Algorithm 3).
+
+    New bucket i covers old buckets [i*ratio, (i+1)*ratio); the discarded
+    bucket bits become the TOP bits of the new remainder, so with j = first
+    non-zero old register in the block (smaller j = more leading zeros =
+    larger rho, so the first non-zero dominates):
+
+        new[i] = 0                                  if block all zero
+               = min(q'+1, old[i*ratio] + diff)     if j == 0
+               = diff - floor(log2(j))              otherwise
+                 (= clz of j within the diff-bit window, + 1)
+
+    Register-identical to a natively built p_new sketch over the same
+    hashes.
+    """
+    ratio = 1 << (p - p_new)
+    m_new = 1 << p_new
+    diff = p - p_new
+    cap = 64 - p_new + 1
+
+    def fold(i):
+        block = F.slice(regs, i * ratio + 1, ratio)
+        jpos = F.array_position(F.transform(block, lambda v: v != 0), F.lit(True))
+        j = (jpos - 1).cast("double")
+        return (
+            F.when(jpos == 0, F.lit(0))
+            .when(jpos == 1, F.least(F.lit(cap), F.get(block, 0) + F.lit(diff)))
+            .otherwise(F.lit(diff) - F.floor(F.log2(j)).cast("int"))
+        ).cast("int")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m_new - 1)), fold)
 
 
 def hll_est_error(p: int = DEFAULT_P) -> float:

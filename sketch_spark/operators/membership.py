@@ -39,18 +39,29 @@ def bloom_params(n: int, fpr: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
+def default_bloom_pos(key: Column, seed: Column, n_bits: int) -> Column:
+    """Default bit-position family: pmod(xxhash64(key, seed), n_bits)."""
+    return F.pmod(F.xxhash64(key, seed), F.lit(n_bits))
+
+
 def bloom_build(
-    elems: DataFrame, key_col: str, n_bits: int, n_hashes: int
+    elems: DataFrame,
+    key_col: str,
+    n_bits: int,
+    n_hashes: int,
+    pos_fn=default_bloom_pos,
 ) -> DataFrame:
     """One-row DataFrame with `bits array<long>` (n_bits/64 words).
 
-    Word/bit positions from xxhash64(key, seed i); aggregation is
-    bit_or per word — the commutative monoid union of bf.cpp:25-35.
+    Word/bit positions from pos_fn(key, seed, n_bits) (default xxhash64; the
+    oracle tier passes an engine-portable affine mod-prime family);
+    aggregation is bit_or per word — the commutative monoid union of
+    bf.cpp:25-35.
     """
     n_words = n_bits // 64
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
     pos = elems.select(F.col(key_col).alias("_k"), seeds).select(
-        F.pmod(F.xxhash64(F.col("_k"), F.col("seed")), F.lit(n_bits)).alias("p")
+        pos_fn(F.col("_k"), F.col("seed"), n_bits).alias("p")
     )
     words = (
         pos.select(
@@ -80,19 +91,24 @@ def bloom_probe(
     n_bits: int,
     n_hashes: int,
     out_col: str = "may_contain",
+    pos_fn=default_bloom_pos,
 ) -> DataFrame:
     """Probe rows against the (broadcast) one-row bloom table.
 
     maybe-present <=> every one of the k probed bits is set.  No false
-    negatives (bf.h:623-676 contract).  The dynamic bit shift needs the SQL
-    form (shift amounts as columns aren't supported by the Python DSL).
+    negatives (bf.h:623-676 contract).  Column-valued shift amounts aren't
+    supported by the Python DSL, so the bit test indexes a static array of
+    the 64 single-bit masks instead of shifting.
     """
+    masks = F.array(
+        *[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
     joined = probe.crossJoin(F.broadcast(bloom))
     cond = None
     for s in range(n_hashes):
-        c = F.expr(
-            f"(shiftright(get(bits, CAST(pmod(xxhash64({key_col}, {s}), {n_bits}) / 64 AS INT)), "
-            f"CAST(pmod(xxhash64({key_col}, {s}), {n_bits}) % 64 AS INT)) & 1) = 1"
-        )
+        p = pos_fn(F.col(key_col), F.lit(s), n_bits)
+        word = F.get(F.col("bits"), (p / 64).cast("int"))
+        mask = F.element_at(masks, F.pmod(p, F.lit(64)).cast("int") + 1)
+        c = word.bitwiseAND(mask) != 0
         cond = c if cond is None else (cond & c)
     return joined.withColumn(out_col, cond).drop("bits")

@@ -41,6 +41,14 @@ def _value_bits(p: int) -> int:
     return 64 - p
 
 
+# Empty-register sentinel for the numpy densify path (the reference's
+# detail::default_val<uint64> = max; int64 max here).  Registers stay int64
+# end-to-end — a float64 round-trip would corrupt the low ~4 bits of 57-bit
+# values (53-bit mantissa), breaking bit-exact parity with the JVM path and
+# making b-bit truncation of densified signatures meaningless.
+EMPTY_REG = (1 << 63) - 1
+
+
 def one_perm_signature(
     shingles: DataFrame,
     group_col: str = "conv_id",
@@ -130,13 +138,13 @@ def one_perm_signature_fast(
             lens = np.fromiter((len(b) for b in bks), dtype=np.int64, count=n)
             rows = np.repeat(np.arange(n), lens)
             cols = np.concatenate([np.asarray(b, dtype=np.int64) for b in bks]) if n else np.empty(0, np.int64)
-            vv = np.concatenate([np.asarray(v, dtype=np.float64) for v in vals]) if n else np.empty(0)
-            mat = np.full((n, m), np.nan)
+            vv = np.concatenate([np.asarray(v, dtype=np.int64) for v in vals]) if n else np.empty(0, np.int64)
+            mat = np.full((n, m), EMPTY_REG, dtype=np.int64)
             mat[rows, cols] = vv
-            empty = np.isnan(mat)
+            empty = mat == EMPTY_REG
             dense = densify_batch(mat, empty, m)
             all_empty = empty.all(axis=1)
-            lists = dense.astype(np.int64).tolist()
+            lists = dense.tolist()
             out = [None if all_empty[r] else lists[r] for r in range(n)]
             yield pd.DataFrame({group_col: pdf[group_col], "sig": out})
 
@@ -179,12 +187,13 @@ def one_perm_signature_from_array(
 def densify_batch(mat: np.ndarray, empty: np.ndarray, m: int) -> np.ndarray:
     """Vectorized optimal densification over a whole Arrow batch at once.
 
-    mat: (n, m) float64 register matrix with NaN for empty registers;
-    empty: boolean mask.  For each empty (row, reg) pair, probe donor
-    register j = WangHash(reg * GOLDEN + attempt) % m until the donor is
-    non-empty in that row (reference bbmh.h:31-56 semantics: deterministic,
-    depends only on the occupied pattern + values, so equal sets yield equal
-    densified signatures).  All (row, reg) pairs advance together.
+    mat: (n, m) int64 register matrix with EMPTY_REG sentinel for empty
+    registers; empty: boolean mask.  For each empty (row, reg) pair, probe
+    donor register j = WangHash(reg * GOLDEN + attempt) % m until the donor
+    is non-empty in that row (reference bbmh.h:31-56 semantics:
+    deterministic, depends only on the occupied pattern + values, so equal
+    sets yield equal densified signatures).  All (row, reg) pairs advance
+    together.  int64 throughout — donor values copy bit-exactly.
     """
     golden = np.uint64(0x9E3779B97F4A7C15)
     vals = mat.copy()
@@ -210,9 +219,18 @@ def densify_signatures(
     """Optimal-densification fill of empty (null) registers — mapInPandas
     (a dedicated plan node: immune to projection inlining, and lets us
     densify the whole Arrow batch as one numpy matrix).  One row per
-    conversation, so this is off the per-shingle hot path."""
+    conversation, so this is off the per-shingle hot path.
+
+    Null registers are coalesced to the EMPTY_REG sentinel JVM-side before
+    the Arrow transfer: an array<long> containing nulls would cross Arrow as
+    float64 (NaN holes) and corrupt 57-bit values.  With the sentinel the
+    arrays stay int64 end-to-end."""
     m = 1 << p
     schema = sig_df.schema
+    pre = sig_df.withColumn(
+        sig_col,
+        F.transform(F.col(sig_col), lambda v: F.coalesce(v, F.lit(EMPTY_REG))),
+    )
 
     def gen(batches):
         for pdf in batches:
@@ -220,15 +238,11 @@ def densify_signatures(
             live = col.notna()
             if live.any():
                 sub = col[live]
-                # C-path conversions: pd.DataFrame parses list-of-lists with
-                # None -> NaN natively; .tolist() emits python ints in C.
-                # (The per-element comprehensions this replaces made densify
-                # a serial bottleneck at 10^7-turn scale.)
-                mat = pd.DataFrame(sub.tolist()).to_numpy(dtype=np.float64)
-                empty = np.isnan(mat)
+                mat = np.stack([np.asarray(v, dtype=np.int64) for v in sub])
+                empty = mat == EMPTY_REG
                 all_empty = empty.all(axis=1)
                 dense = densify_batch(mat, empty, m)
-                lists = dense.astype(np.int64).tolist()
+                lists = dense.tolist()
                 out = [
                     None if all_empty[r] else lists[r] for r in range(len(lists))
                 ]
@@ -237,7 +251,35 @@ def densify_signatures(
                 pdf[sig_col] = col
             yield pdf
 
-    return sig_df.mapInPandas(gen, schema=schema)
+    return pre.mapInPandas(gen, schema=schema)
+
+
+def densify_cyclic_col(sig: Column, m: int) -> Column:
+    """Engine-portable densification variant: each empty (null) register is
+    filled from the nearest non-empty register in cyclic index order
+    (distance (j - i) mod m) — deterministic, expressible in identical
+    integer arithmetic on any SQL engine, hence oracle-checkable.
+
+    The production path keeps the reference's optimal densification
+    (WangHash-probe, densify_batch / bbmh.h:31-56), whose uint64 wraparound
+    has no portable SQL form; the two variants share the contract that the
+    filled signature depends only on the occupied pattern + values.
+    Rows where every register is null densify to all-null."""
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+
+    def fill(i):
+        cands = F.filter(
+            F.transform(
+                idx,
+                lambda j: F.struct(
+                    F.pmod(j - i, F.lit(m)).alias("d"), F.get(sig, j).alias("v")
+                ),
+            ),
+            lambda s: s.getField("v").isNotNull(),
+        )
+        return F.array_min(cands).getField("v")
+
+    return F.transform(idx, fill)
 
 
 def one_perm_cardinality_col(sig: Column, p: int = DEFAULT_P) -> Column:
@@ -337,34 +379,35 @@ def bottom_k_counting(
     )
 
 
-def weighted_jaccard_col(a: Column, b: Column) -> Column:
-    """Histogram intersection over matched minimizers: sum(min(cnt)) /
-    sum(max(cnt)) for hashes present in both, plus unmatched weights in the
-    denominator (reference histogram_intersection, mh.h:562-588).
+def weighted_overlap_cols(a: Column, b: Column) -> tuple[Column, Column]:
+    """Integer parts of the histogram intersection (reference
+    histogram_intersection, mh.h:562-588) over two sorted
+    array<struct<h long, cnt long>> minimizer lists:
 
-    a, b: array<struct<h long, cnt long>> sorted by h.
-    """
+      num = sum over shared hashes of min(cnt_a, cnt_b)
+      den = tot_a + tot_b - num    (= sum of max over the union)
+
+    Exposed separately so the oracle tier can hash-compare the integers
+    (the ratio is float)."""
     ah = F.transform(a, lambda s: s.getField("h"))
     bh = F.transform(b, lambda s: s.getField("h"))
     shared = F.array_intersect(ah, bh)
+    # O(k log k) map lookups instead of an O(k) filter scan per shared hash
+    am = F.map_from_entries(a)
+    bm = F.map_from_entries(b)
     num = F.aggregate(
         shared,
         F.lit(0).cast("long"),
-        lambda acc, h: acc
-        + F.least(
-            F.get(
-                F.transform(F.filter(a, lambda s: s.getField("h") == h), lambda s: s.getField("cnt")),
-                0,
-            ),
-            F.get(
-                F.transform(F.filter(b, lambda s: s.getField("h") == h), lambda s: s.getField("cnt")),
-                0,
-            ),
-        ),
+        lambda acc, h: acc + F.least(F.element_at(am, h), F.element_at(bm, h)),
     )
     tot_a = F.aggregate(a, F.lit(0).cast("long"), lambda acc, s: acc + s.getField("cnt"))
     tot_b = F.aggregate(b, F.lit(0).cast("long"), lambda acc, s: acc + s.getField("cnt"))
-    denom = tot_a + tot_b - num
+    return num, tot_a + tot_b - num
+
+
+def weighted_jaccard_col(a: Column, b: Column) -> Column:
+    """Histogram intersection ratio: sum(min)/sum(max) (mh.h:562-588)."""
+    num, denom = weighted_overlap_cols(a, b)
     return F.when(denom > 0, num.cast("double") / denom.cast("double")).otherwise(
         F.lit(0.0)
     )
@@ -402,17 +445,28 @@ def bbit_truncate_col(sig: Column, b: int) -> Column:
 
 
 def compress_signature_col(sig: Column, p: int, p_new: int) -> Column:
-    """Fold 2^p registers down to 2^p_new by group-min (reference
-    BBitMinHasher::compress, bbmh.h:933-951): register i of the compressed
-    sketch = min over registers {i, i + m', i + 2m', ...}."""
+    """Fold 2^p registers down to 2^p_new (reference BBitMinHasher::compress,
+    bbmh.h:933-951): new register i covers the CONTIGUOUS old block
+    [i*ratio, (i+1)*ratio) — the old buckets whose top p_new bits equal i —
+    and its value re-adds the discarded bucket bits:
+
+        new[i] = min over non-empty j in [0, ratio) of (old[i*ratio+j]
+                 + j * 2^(64-p))
+
+    Since old values < 2^(64-p), the j*increment term dominates, so this min
+    equals the reference's first-non-empty walk, and the result is register-
+    identical to a natively built p_new sketch over the same hashes
+    (new value = discarded-bucket-bits || old value = low 64-p_new bits of
+    h).  Empty blocks stay null (reference default_val)."""
+    ratio = 1 << (p - p_new)
     m_new = 1 << p_new
-    ratio = (1 << p) // m_new
+    increment = 1 << (64 - p)
     return F.transform(
         F.sequence(F.lit(0), F.lit(m_new - 1)),
         lambda i: F.array_min(
             F.transform(
                 F.sequence(F.lit(0), F.lit(ratio - 1)),
-                lambda j: F.get(sig, i + j * m_new),
+                lambda j: F.get(sig, i * ratio + j) + j * F.lit(increment),
             )
         ),
     )

@@ -20,19 +20,31 @@ from pyspark.sql import functions as F
 from sketch_spark.functions.arrays import hamming_col  # re-export  # noqa: F401
 
 
-def simhash64_expr(arr_col: str) -> Column:
-    """64-bit SimHash of an array<long> column (by name — the bit index is a
+def simhash_expr(arr_col: str, n_bits: int = 64, strict: bool = False) -> Column:
+    """n_bits-wide SimHash of an array<long> column as ONE per-row aggregate
+    expression — zero shuffle, zero Python (by name — the bit index is a
     lambda variable, which the Python DSL's shiftleft can't take, so this is
-    a SQL-text expression; still whole-stage-codegen)."""
+    a SQL-text expression).
+
+    strict=False: bit set when votes >= 0 (the engine's default tie rule);
+    strict=True:  bit set when votes > 0 (the oracle-portable rule — ties
+    fall to 0 identically in Spark and DuckDB integer arithmetic).
+    """
+    cmp = ">" if strict else ">="
     votes = (
         f"aggregate({arr_col}, 0L, "
         f"(acc, h) -> acc + IF((shiftright(h, i) & 1) = 1, 1, -1))"
     )
     return F.expr(
         f"CASE WHEN size({arr_col}) = 0 THEN 0L ELSE "
-        f"aggregate(sequence(0, 63), 0L, "
-        f"(sh, i) -> sh + IF(({votes}) >= 0, shiftleft(1L, i), 0L)) END"
+        f"aggregate(sequence(0, {n_bits - 1}), 0L, "
+        f"(sh, i) -> sh + IF(({votes}) {cmp} 0, shiftleft(1L, i), 0L)) END"
     )
+
+
+def simhash64_expr(arr_col: str) -> Column:
+    """64-bit SimHash (votes >= 0 tie rule) — see simhash_expr."""
+    return simhash_expr(arr_col, 64, strict=False)
 
 
 def simhash_signatures(
@@ -43,16 +55,19 @@ def simhash_signatures(
 
 def simhash_signatures_np(
     df: DataFrame, arr_col: str = "shingles", id_col: str = "conv_id",
-    out_col: str = "simhash",
+    out_col: str = "simhash", n_bits: int = 64, strict: bool = False,
 ) -> DataFrame:
     """Vectorized mapInPandas variant for the hot path: the SQL nested
     aggregate is interpreted per (bit, element); numpy does the whole Arrow
-    batch with two matrix ops.  Same >=0 tie rule as simhash64_expr."""
+    batch with two matrix ops.  Tie rule matches simhash_expr (strict).
+    The id column keeps its input type."""
     import numpy as np
     import pandas as pd
 
+    id_type = df.schema[id_col].dataType.simpleString()
+
     def gen(batches):
-        shifts = np.arange(64, dtype=np.uint64)
+        shifts = np.arange(n_bits, dtype=np.uint64)
         for pdf in batches:
             out = np.zeros(len(pdf), dtype=np.int64)
             for i, arr in enumerate(pdf[arr_col]):
@@ -61,14 +76,13 @@ def simhash_signatures_np(
                 h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
                 bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
                 votes = (2 * bits - 1).sum(axis=0)
-                sim = int(
-                    np.bitwise_or.reduce((votes >= 0).astype(np.uint64) << shifts)
-                )
+                keep = (votes > 0) if strict else (votes >= 0)
+                sim = int(np.bitwise_or.reduce(keep.astype(np.uint64) << shifts))
                 out[i] = sim - (1 << 64) if sim >= (1 << 63) else sim
             yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
 
     return df.select(id_col, arr_col).mapInPandas(
-        gen, schema=f"{id_col} string, {out_col} long"
+        gen, schema=f"{id_col} {id_type}, {out_col} long"
     )
 
 

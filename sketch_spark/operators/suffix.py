@@ -45,11 +45,19 @@ def _inv_u64(b: np.uint64) -> np.uint64:
 _BINV = _inv_u64(_B)
 
 
-def _kgram_hashes(s: bytes, k: int) -> np.ndarray:
+def _kgram_hashes(s: str, k: int) -> np.ndarray:
     """Rolling polynomial hashes (mod 2^64) of all k-grams of s, fully
     vectorized:  H[i] = B^(k-1) * B^i * (P[i+k] - P[i])  where
-    P[t] = sum_{j<t} a[j] * Binv^j  (B odd => invertible mod 2^64)."""
-    a = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
+    P[t] = sum_{j<t} a[j] * Binv^j  (B odd => invertible mod 2^64).
+
+    Hashes are over Unicode CODE POINTS (utf-32 units), not UTF-8 bytes, so
+    fingerprint positions are character indices — the same unit Spark's
+    `substring` and Python string indexing use.  (Byte positions would
+    misalign the verify stage's witness windows on any non-ASCII text.)
+    """
+    a = np.frombuffer(s.encode("utf-32-le", "surrogatepass"), dtype=np.uint32).astype(
+        np.uint64
+    )
     n = a.size - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64)
@@ -87,7 +95,7 @@ def winnow_fingerprints(
             for cid, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                h = _kgram_hashes(text.encode("utf-8", "surrogatepass"), k)
+                h = _kgram_hashes(text, k)
                 if h.size == 0:
                     continue
                 if h.size <= w:

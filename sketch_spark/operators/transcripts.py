@@ -51,6 +51,7 @@ def conv_table(transcripts: DataFrame, n: int = DEFAULT_N, seed: int = DEFAULT_S
         n_turns.alias("n_turns"),
         full_text.alias("full_text"),
         F.xxhash64(full_text, F.lit(seed)).alias("full_hash"),
+        F.xxhash64(full_text, F.lit(seed + 1)).alias("full_hash2"),
         shingles.alias("shingles"),
         F.size(shingles).alias("n_shingles"),
     )
@@ -59,9 +60,17 @@ def conv_table(transcripts: DataFrame, n: int = DEFAULT_N, seed: int = DEFAULT_S
 def exact_dup_pairs(conv: DataFrame) -> DataFrame:
     """Exact duplicates: identical full_text (hash-grouped, then pairs to the
     group's canonical = min conv_id; a star, which is all connected
-    components needs).  Catches short convs with zero shingles too."""
+    components needs).  Catches short convs with zero shingles too.
+
+    Equality is keyed on TWO independent 64-bit hashes (different seeds):
+    one xxhash64 alone makes birthday collisions expected at the 10^12-conv
+    target (n^2/2^65 ~ thousands of false edges, each transitively merging
+    unrelated clusters through connected components); two push the
+    expectation to n^2/2^129 ~ 10^-15.  Falls back to full_hash alone when
+    the caller's table carries no second hash."""
+    keys = ["full_hash", "full_hash2"] if "full_hash2" in conv.columns else ["full_hash"]
     groups = (
-        conv.groupBy("full_hash")
+        conv.groupBy(*keys)
         .agg(F.sort_array(F.collect_list("conv_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )

@@ -88,16 +88,68 @@ def _memo(key, build):
     return _MEMO[key]
 
 
-def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _poly_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE vectorized pass computing every oracle-tier polynomial hash
+    column: 3-gram shingle hashes (char family B=31 mod P) and the 60-bit
+    two-family combination h60 used by the SimHash queries.
+
+    The pure-Column fold (T.poly_shingle_hashes_col) is evaluated by the
+    interpreted higher-order-function evaluator per character and dominated
+    bench wall time (~50s of a 227s run, duplicated across sibling memos);
+    plain Python integer arithmetic over one Arrow batch computes the
+    identical values (parity-tested in tests/test_entry.py) at a fraction
+    of the cost, and one memo now serves q03-q08, q11, q19 and q20.
+    The production path is untouched (JVM xxhash64, functions/text.py)."""
+
     def build():
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return d.select(
-            "doc_id",
-            "source",
-            T.poly_shingle_hashes_col(F.col("text"), 3).alias("shingles"),
+        import pandas as pd
+
+        from sketch_spark.functions.hashing import poly_combine_py, poly_hash_py
+        from sketch_spark.functions.text import tokens_py
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "text"
+        )
+        m30 = (1 << 30) - 1
+
+        def gen(batches):
+            for pdf in batches:
+                sh_out, h60_out = [], []
+                for t in pdf["text"]:
+                    toks = tokens_py(t or "")
+                    if len(toks) < 3:
+                        sh_out.append([])
+                        h60_out.append([])
+                        continue
+                    th1 = [poly_hash_py(tok) for tok in toks]
+                    th2 = [poly_hash_py(tok, B2, P2) for tok in toks]
+                    sh, h60 = [], []
+                    for i in range(len(toks) - 2):
+                        a1 = poly_combine_py(th1[i : i + 3])
+                        a2 = poly_combine_py(th2[i : i + 3])
+                        sh.append(a1)
+                        h60.append((a1 & m30) * (1 << 30) + (a2 & m30))
+                    sh_out.append(sh)
+                    h60_out.append(h60)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "source": pdf["source"],
+                        "shingles": sh_out,
+                        "h60": h60_out,
+                    }
+                )
+
+        return d.mapInPandas(
+            gen,
+            schema="doc_id long, source string, shingles array<long>, h60 array<long>",
         )
 
-    return _memo(("sh", id(spark), sf_dir), build)
+    return _memo(("polydocs", id(spark), sf_dir), build)
+
+
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _poly_docs(spark, sf_dir).select("doc_id", "source", "shingles")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,12 +410,14 @@ def _poly2_token_col(tok):
 
 def _doc_h60(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc shingle list with 60-bit combined hashes: h60 = h1 * 2^30 + h2
-    (h1, h2 < 2^30 via mod-prime; disjoint bit ranges).  Memoized+persisted
-    (see _MEMO note)."""
-    return _memo(("h60", id(spark), sf_dir), lambda: _build_h60(spark, sf_dir))
+    (h1, h2 < 2^30 via mod-prime; disjoint bit ranges).  Served from the
+    shared _poly_docs memo."""
+    return _poly_docs(spark, sf_dir).select("doc_id", "source", "h60")
 
 
-def _build_h60(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_h60_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Column construction of the same h60 — kept as the independent
+    implementation the parity test checks _poly_docs against."""
     d = _docs(spark, sf_dir)
     toks = T.tokens_col(F.col("text"))
     th1 = F.transform(toks, poly_hash_token_col)
@@ -416,25 +470,18 @@ WITH tk AS (
 
 
 def q07_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = _doc_h60(spark, sf_dir)
-    ex = h.select("doc_id", F.explode("h60").alias("v"))
-    bits = ex.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"), "v"
+    """Single-pass per-doc SimHash (the engine's own numpy operator): no
+    explode, no shuffle — the previous plan exploded every shingle x 60 bits
+    through two shuffled groupBys (~60x row inflation, the 2nd-most
+    expensive bench query).  The oracle SQL (and output) are unchanged;
+    strict=True matches its `vote > 0` tie rule.  Docs with no shingles are
+    filtered to mirror the oracle's unnest (which drops them)."""
+    from sketch_spark.operators.simhash import simhash_signatures_np
+
+    h = _doc_h60(spark, sf_dir).where(F.size("h60") > 0)
+    return simhash_signatures_np(
+        h, arr_col="h60", id_col="doc_id", out_col="simhash", n_bits=60, strict=True
     )
-    # shiftright with a *column* bit count needs the SQL form
-    votes = bits.groupBy("doc_id", "bit").agg(
-        F.sum(F.expr("CASE WHEN shiftright(v, bit) % 2 = 1 THEN 1 ELSE -1 END")).alias(
-            "vote"
-        )
-    )
-    sim = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).cast("long").alias("simhash")
-    )
-    return sim
 
 
 Q07_SQL = (
@@ -665,6 +712,14 @@ NG_MIN_INTER = 30
 
 
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact overlap join (operators/setsim.py) instead of
+    the all-pairs-within-source self-join: candidates come from an equi-join
+    on rare-first prefix grams (guaranteed superset of every pair with
+    n_inter >= t), then the exact intersect runs only on candidates.  Output
+    and oracle unchanged.  |A∪B| = n_a + n_b - n_inter exactly (distinct
+    sets), matching the oracle's list_distinct(concat)."""
+    from sketch_spark.operators.setsim import overlap_join
+
     g = _memo(
         ("grams", id(spark), sf_dir),
         lambda: _docs(spark, sf_dir).select(
@@ -673,19 +728,12 @@ def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(T.char_ngrams_col(F.col("text"), NG)).alias("grams"),
         ),
     )
-    a = g.alias("a")
-    b = g.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
-    return (
-        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("a_doc"),
-            F.col("b.doc_id").alias("b_doc"),
-            inter.cast("long").alias("n_inter"),
-            union.cast("long").alias("n_union"),
-        )
-        .where(F.col("n_inter") >= NG_MIN_INTER)
+    pairs = overlap_join(g, "doc_id", "grams", NG_MIN_INTER, block_cols=("source",))
+    return pairs.select(
+        F.col("a").alias("a_doc"),
+        F.col("b").alias("b_doc"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("long").alias("n_union"),
     )
 
 
@@ -849,9 +897,11 @@ def q19_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.operators.cc import connected_components
 
     pairs = q04_kmv_pairs(spark, sf_dir).where(F.col("n_shared") >= CC_MIN_SHARED)
-    edges = pairs.select(
-        F.col("a_doc").cast("string").alias("a"), F.col("b_doc").cast("string").alias("b")
-    )
+    # CC runs on the long ids directly: the oracle's min(reach) is numeric,
+    # and a string cast would make cluster_id the LEXICOGRAPHIC min
+    # ('10' < '9'), silently diverging on components that straddle a
+    # digit-length boundary.  connected_components is type-agnostic.
+    edges = pairs.select(F.col("a_doc").alias("a"), F.col("b_doc").alias("b"))
     labels, _ = connected_components(edges)
     return labels.select(
         F.col("node").cast("long").alias("doc_id"),
@@ -891,23 +941,26 @@ CONT_MIN = 10
 
 
 def q20_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same prefix-filter plan as q15 (setsim.overlap_join); the asymmetric
+    (a != b) output is both orientations of each verified unordered pair."""
+    from sketch_spark.operators.setsim import overlap_join
+
     sh = _doc_shingle_hashes(spark, sf_dir)
-    d = sh.select(
-        "doc_id", "source", F.array_distinct("shingles").alias("u")
+    d = sh.select("doc_id", "source", F.array_distinct("shingles").alias("u"))
+    pairs = overlap_join(d, "doc_id", "u", CONT_MIN, block_cols=("source",))
+    fwd = pairs.select(
+        F.col("a").alias("a_doc"),
+        F.col("b").alias("b_doc"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_a").cast("long").alias("n_a"),
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.u"), F.col("b.u")))
-    return (
-        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") != F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("a_doc"),
-            F.col("b.doc_id").alias("b_doc"),
-            inter.cast("long").alias("n_inter"),
-            F.size(F.col("a.u")).cast("long").alias("n_a"),
-        )
-        .where(F.col("n_inter") >= CONT_MIN)
+    rev = pairs.select(
+        F.col("b").alias("a_doc"),
+        F.col("a").alias("b_doc"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_b").cast("long").alias("n_a"),
     )
+    return fwd.unionByName(rev)
 
 
 Q20_SQL = (
@@ -964,17 +1017,66 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 
 # ---------------------------------------------------------------------------
-# q23 — HLL approximate distinct (rows-only check: estimate is approximate
-#        by design, so no value oracle; the register-exact variant is unit-
-#        tested against |est-truth| <= 2*err in tests/test_sketches.py)
+# q23 — register-exact HLL build (hll.h:886-899) through the engine's own
+#        hll_registers operator, over an engine-portable 60-bit hash
+#        (two 30-bit affine mod-prime halves — both engines compute the
+#        identical integer).  The rho computation is integer-exact (32-bit
+#        split before log2) in both engines.  The float *estimator* stays
+#        pytest-gated (|est-truth| <= 2*err, tests/test_sketches.py) —
+#        registers are the deterministic, hash-comparable surface.
 # ---------------------------------------------------------------------------
 
+HLL_Q23_P = 8
+HP30 = 1_073_741_789  # largest prime < 2^30
+HA1, HB1 = 1_103_515_245, 12_345
+HA2, HB2 = 69_069, 362_437
 
-def q23_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def q23_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.hll import hll_registers
+
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).cast("long").alias("approx_users")
+    h1 = (F.lit(HA1) * F.col("user_id") + F.lit(HB1)) % F.lit(HP30)
+    h2 = (F.lit(HA2) * F.col("user_id") + F.lit(HB2)) % F.lit(HP30)
+    h60 = h1 * F.lit(1 << 30) + h2
+    elems = e.select(F.col("event_type").alias("g"), h60.alias("h"))
+    regs = hll_registers(elems, "g", "h", p=HLL_Q23_P, hash_bits=60)
+    return regs.select(
+        F.col("g").alias("event_type"),
+        F.posexplode("regs").alias("register_idx", "register_value"),
+    ).select(
+        "event_type",
+        F.col("register_idx").cast("long").alias("register_idx"),
+        F.col("register_value").cast("long").alias("register_value"),
     )
+
+
+_VB23 = 60 - HLL_Q23_P
+Q23_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+    (({HA1} * user_id + {HB1}) % {HP30}) * {1 << 30}
+      + (({HA2} * user_id + {HB2}) % {HP30}) AS h60
+  FROM events
+), rr AS (
+  SELECT event_type, h60 // {1 << _VB23} AS bucket, h60 % {1 << _VB23} AS rem
+  FROM h
+), rh AS (
+  SELECT event_type, bucket,
+    CASE WHEN rem = 0 THEN {_VB23 + 1}
+         WHEN rem >= {1 << 32}
+           THEN {_VB23 - 32} - CAST(floor(log2(rem // {1 << 32})) AS BIGINT)
+         ELSE {_VB23} - CAST(floor(log2(rem)) AS BIGINT) END AS rho
+  FROM rr
+), mx AS (SELECT event_type, bucket, max(rho) AS mr FROM rh GROUP BY event_type, bucket),
+et AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT et.event_type, CAST(i AS BIGINT) AS register_idx
+         FROM et, unnest(range(0, {1 << HLL_Q23_P})) AS t(i))
+SELECT g.event_type, g.register_idx,
+  CAST(coalesce(mx.mr, 0) AS BIGINT) AS register_value
+FROM grid g LEFT JOIN mx
+  ON g.event_type = mx.event_type AND g.register_idx = mx.bucket
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -994,6 +1096,476 @@ Q24_SQL = """
 SELECT l_linestatus, quantile_cont(l_quantity, 0.5) AS median_qty
 FROM lineitem GROUP BY l_linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# q25 — portable densified registers (operators/minhash.densify_cyclic_col):
+#        the oracle-checkable densification variant; the production
+#        WangHash-probe densify (bbmh.h:31-56) stays pytest-gated (its
+#        uint64 wraparound has no portable SQL form).
+# ---------------------------------------------------------------------------
+
+
+def _dense_vec16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, vec array<long> len 16 with nulls) from the q05 registers."""
+    regs = q05_oneperm_registers(spark, sf_dir)
+    dense = regs.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("register_idx", "register_value"))
+        ).alias("mm")
+    )
+    return dense.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(M_REG - 1)),
+            lambda i: F.element_at(F.col("mm"), i.cast("long")),
+        ).alias("vec"),
+    )
+
+
+def q25_densified_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.minhash import densify_cyclic_col
+
+    vec = _dense_vec16(spark, sf_dir)
+    return vec.select(
+        "doc_id",
+        F.posexplode(densify_cyclic_col(F.col("vec"), M_REG)).alias(
+            "register_idx", "register_value"
+        ),
+    ).select(
+        "doc_id",
+        F.col("register_idx").cast("long").alias("register_idx"),
+        F.col("register_value").cast("long").alias("register_value"),
+    )
+
+
+Q25_SQL = (
+    SQL_DOC_SHINGLE_HASHES
+    + f"""
+, ex AS (SELECT doc_id, unnest(shingles) AS h FROM sh)
+, regs AS (SELECT doc_id, h % {M_REG} AS ri, min(h // {M_REG}) AS rv
+           FROM ex GROUP BY doc_id, h % {M_REG})
+, grid AS (SELECT d.doc_id, CAST(t.i AS BIGINT) AS i
+           FROM (SELECT DISTINCT doc_id FROM regs) d,
+                unnest(range(0, {M_REG})) AS t(i))
+SELECT g.doc_id, g.i AS register_idx,
+  CAST(arg_min(r.rv, (r.ri - g.i + {M_REG}) % {M_REG}) AS BIGINT) AS register_value
+FROM grid g JOIN regs r ON r.doc_id = g.doc_id
+GROUP BY g.doc_id, g.i
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# q26 — counting bottom-k + weighted (histogram-intersection) overlap
+#        (reference CountingRangeMinHash mh.h:482-735, tf_idf mh.h:562-588);
+#        integer numerator/denominator so the oracle hash-compares exactly.
+#        Candidates = shared-minimizer equi-join (ssi.h bottom-k index mode),
+#        which is EXACTLY the pairs with w_num >= 1 — no all-pairs join.
+# ---------------------------------------------------------------------------
+
+K_W = 16
+
+
+def q26_weighted_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.minhash import bottom_k_counting, weighted_overlap_cols
+
+    sh = _poly_docs(spark, sf_dir)
+    ex = sh.select("doc_id", "source", F.explode("shingles").alias("h"))
+    mins = bottom_k_counting(ex, K_W, "doc_id", "h")
+    src = sh.select("doc_id", "source")
+    m2 = mins.join(src, "doc_id")
+    exm = m2.select(
+        "doc_id",
+        "source",
+        F.explode(F.transform("minimizers", lambda s: s.getField("h"))).alias("h"),
+    )
+    cand = (
+        exm.alias("x")
+        .join(
+            exm.alias("y"),
+            (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    ma = m2.select(F.col("doc_id").alias("a"), F.col("minimizers").alias("_ma"))
+    mb = m2.select(F.col("doc_id").alias("b"), F.col("minimizers").alias("_mb"))
+    num, den = weighted_overlap_cols(F.col("_ma"), F.col("_mb"))
+    return (
+        cand.join(ma, "a")
+        .join(mb, "b")
+        .select(
+            F.col("a").alias("a_doc"),
+            F.col("b").alias("b_doc"),
+            num.cast("long").alias("w_num"),
+            den.cast("long").alias("w_den"),
+        )
+    )
+
+
+Q26_SQL = (
+    SQL_DOC_SHINGLE_HASHES
+    + f"""
+, ex AS (SELECT doc_id, source, unnest(shingles) AS h FROM sh)
+, cnts AS (SELECT doc_id, source, h, count(*) AS cnt
+           FROM ex GROUP BY doc_id, source, h)
+, rk AS (SELECT doc_id, source, h, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM cnts)
+, mins AS (SELECT doc_id, source, h, cnt FROM rk WHERE rn <= {K_W})
+, tot AS (SELECT doc_id, sum(cnt) AS tot FROM mins GROUP BY doc_id)
+, shared AS (
+  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, sum(least(a.cnt, b.cnt)) AS num
+  FROM mins a JOIN mins b
+    ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT s.a_doc, s.b_doc, CAST(s.num AS BIGINT) AS w_num,
+  CAST(ta.tot + tb.tot - s.num AS BIGINT) AS w_den
+FROM shared s
+JOIN tot ta ON ta.doc_id = s.a_doc
+JOIN tot tb ON tb.doc_id = s.b_doc
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# q27 — Count-Min point estimates (ccm.h est_count) with an engine-portable
+#        affine mod-prime family through the real cm_sketch/cm_query
+#        operators (hash_fn injection).
+# ---------------------------------------------------------------------------
+
+CM_D, CM_W = 3, 32
+
+
+def _cm_hash(key, seed):
+    return (
+        poly_hash_token_col(key) * F.lit(POLY_B)
+        + seed.cast("long") * F.lit(7919)
+        + F.lit(13)
+    ) % F.lit(POLY_P)
+
+
+def q27_cm_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.frequency import cm_query, cm_sketch
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type")
+    cm = cm_sketch(e, "event_type", CM_D, CM_W, hash_fn=_cm_hash)
+    keys = e.distinct()
+    est = cm_query(cm, keys, "event_type", CM_D, CM_W, hash_fn=_cm_hash)
+    exact = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "est_count", "exact_count"
+    )
+
+
+from sketch_spark.functions.hashing import poly_hash_token_sql  # noqa: E402
+
+_Q27_TH = poly_hash_token_sql("event_type")
+Q27_SQL = f"""
+WITH k AS (SELECT event_type, {_Q27_TH} AS th FROM events),
+cells AS (SELECT t.s AS seed,
+            ((th * {POLY_B} + t.s * 7919 + 13) % {POLY_P}) % {CM_W} AS bucket,
+            count(*) AS cnt
+          FROM k, unnest(range(0, {CM_D})) AS t(s) GROUP BY 1, 2),
+probes AS (SELECT DISTINCT event_type, th FROM k),
+pe AS (SELECT p.event_type, t.s AS seed,
+         ((p.th * {POLY_B} + t.s * 7919 + 13) % {POLY_P}) % {CM_W} AS bucket
+       FROM probes p, unnest(range(0, {CM_D})) AS t(s)),
+est AS (SELECT pe.event_type, min(coalesce(c.cnt, 0)) AS est_count
+        FROM pe LEFT JOIN cells c ON c.seed = pe.seed AND c.bucket = pe.bucket
+        GROUP BY pe.event_type)
+SELECT e.event_type, CAST(e.est_count AS BIGINT) AS est_count,
+  CAST(x.cnt AS BIGINT) AS exact_count
+FROM est e JOIN (SELECT event_type, count(*) AS cnt FROM events
+                 GROUP BY event_type) x USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q28 — Bloom membership probe (bf.h:623-676) through the real bloom_build /
+#        bloom_probe operators with a portable position family; the second
+#        probe column exercises negatives / false positives deterministically.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS, BLOOM_K = 4096, 3
+PROBE_SHIFT = 1_000_000
+
+
+def _bloom_pos(key, seed, n_bits):
+    return (
+        (F.lit(HA1) * key + F.lit(HB1) + seed.cast("long") * F.lit(HA2))
+        % F.lit(HP30)
+    ) % F.lit(n_bits)
+
+
+def q28_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.membership import bloom_build, bloom_probe
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", (F.col("c_custkey") + PROBE_SHIFT).alias("shifted_key")
+    )
+    bloom = bloom_build(o, "o_custkey", BLOOM_BITS, BLOOM_K, pos_fn=_bloom_pos)
+    p1 = bloom_probe(
+        c, bloom, "c_custkey", BLOOM_BITS, BLOOM_K, "may_contain", pos_fn=_bloom_pos
+    )
+    p2 = bloom_probe(
+        p1, bloom, "shifted_key", BLOOM_BITS, BLOOM_K, "may_contain_shifted",
+        pos_fn=_bloom_pos,
+    )
+    return p2.select(
+        "c_custkey",
+        F.col("may_contain").cast("long").alias("may_contain"),
+        F.col("may_contain_shifted").cast("long").alias("may_contain_shifted"),
+    )
+
+
+def _bloom_pos_sql(key: str) -> str:
+    return f"(({HA1} * {key} + {HB1} + t.s * {HA2}) % {HP30}) % {BLOOM_BITS}"
+
+
+Q28_SQL = f"""
+WITH bits AS (SELECT DISTINCT {_bloom_pos_sql('o_custkey')} AS p
+              FROM orders, unnest(range(0, {BLOOM_K})) AS t(s)),
+probe AS (SELECT c_custkey, 0 AS which, {_bloom_pos_sql('c_custkey')} AS p
+          FROM customer, unnest(range(0, {BLOOM_K})) AS t(s)
+          UNION ALL
+          SELECT c_custkey, 1 AS which,
+                 {_bloom_pos_sql(f'(c_custkey + {PROBE_SHIFT})')} AS p
+          FROM customer, unnest(range(0, {BLOOM_K})) AS t(s)),
+m AS (SELECT pr.c_custkey, pr.which, count(b.p) AS ok
+      FROM probe pr LEFT JOIN bits b ON b.p = pr.p
+      GROUP BY pr.c_custkey, pr.which)
+SELECT c_custkey,
+  CAST(max(CASE WHEN which = 0 AND ok = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+    AS may_contain,
+  CAST(max(CASE WHEN which = 1 AND ok = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+    AS may_contain_shifted
+FROM m GROUP BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q29 — signature compress (bbmh.h:933-951) through compress_signature_col:
+#        16 registers fold to 4 contiguous blocks, value re-adds the
+#        discarded bucket bits (j * 2^60).
+# ---------------------------------------------------------------------------
+
+
+def q29_compressed_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.minhash import compress_signature_col
+
+    vec = _dense_vec16(spark, sf_dir)
+    comp = compress_signature_col(F.col("vec"), 4, 2)
+    return vec.select(
+        "doc_id", F.posexplode(comp).alias("register_idx", "register_value")
+    ).select(
+        "doc_id",
+        F.col("register_idx").cast("long").alias("register_idx"),
+        F.coalesce(F.col("register_value"), F.lit(-1)).cast("long").alias(
+            "register_value"
+        ),
+    )
+
+
+Q29_SQL = (
+    SQL_DOC_SHINGLE_HASHES
+    + f"""
+, ex AS (SELECT doc_id, unnest(shingles) AS h FROM sh)
+, regs AS (SELECT doc_id, h % {M_REG} AS ri, min(h // {M_REG}) AS rv
+           FROM ex GROUP BY doc_id, h % {M_REG})
+, grid AS (SELECT d.doc_id, CAST(t.i AS BIGINT) AS i
+           FROM (SELECT DISTINCT doc_id FROM regs) d,
+                unnest(range(0, 4)) AS t(i))
+SELECT g.doc_id, g.i AS register_idx,
+  CAST(coalesce(min(r.rv + (r.ri % 4) * {1 << 60}), -1) AS BIGINT)
+    AS register_value
+FROM grid g LEFT JOIN regs r ON r.doc_id = g.doc_id AND r.ri // 4 = g.i
+GROUP BY g.doc_id, g.i
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# q30 — signed-random-projection signatures over embeddings with
+#        deterministic ±1 (Rademacher) planes — the integer-portable twin of
+#        operators/ann.srp_signatures (gaussian planes, pytest-gated).
+# ---------------------------------------------------------------------------
+
+SRP_BITS, SRP_DIM = 16, 64
+_SRP_SIGNS = [
+    [1 - 2 * (((j * SRP_DIM + k) * HA1 + HB1) % HP30 % 2) for k in range(SRP_DIM)]
+    for j in range(SRP_BITS)
+]
+
+
+def q30_srp_signs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = F.transform("embedding", lambda v: F.round(v * QSCALE).cast("long"))
+    df = e.select("vec_id", qv.alias("qv"))
+    sig = F.lit(0).cast("long")
+    for j in range(SRP_BITS):
+        signs = F.array(*[F.lit(s).cast("long") for s in _SRP_SIGNS[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), signs, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return df.select("vec_id", sig.alias("srp_sig"))
+
+
+def _srp_dot_sql(j: int) -> str:
+    lits = "[" + ", ".join(str(s) for s in _SRP_SIGNS[j]) + "]"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {SRP_DIM} + 1), "
+        f"i -> qv[CAST(i AS INTEGER)] * ({lits})[CAST(i AS INTEGER)])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+Q30_SQL = (
+    "WITH q AS (SELECT vec_id, list_transform(embedding, "
+    f"v -> CAST(round(v * {QSCALE}) AS BIGINT)) AS qv FROM embeddings)\n"
+    "SELECT vec_id, CAST("
+    + " + ".join(
+        f"(CASE WHEN ({_srp_dot_sql(j)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SRP_BITS)
+    )
+    + " AS BIGINT) AS srp_sig FROM q"
+)
+
+
+# ---------------------------------------------------------------------------
+# q31 — Count-sketch join-size estimate (ccm.h:218-226 join_size_l2est)
+#        through cs_sketch/cs_inner_product with a portable signed family;
+#        exact join size alongside for the tolerance check.
+# ---------------------------------------------------------------------------
+
+CS_D, CS_W = 3, 64
+
+
+def _cs_hash(key, seed):
+    return (
+        F.lit(HA1) * key + F.lit(HB1) + seed.cast("long") * F.lit(HA2)
+    ) % F.lit(HP30)
+
+
+def _cs_sign(key, seed):
+    return F.lit(1) - 2 * (
+        (
+            (F.lit(HA2) * key + F.lit(HB2) + seed.cast("long") * F.lit(HA1))
+            % F.lit(HP30)
+        )
+        % F.lit(2)
+    )
+
+
+def q31_join_size_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.frequency import cs_inner_product, cs_sketch
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("k")
+    )
+    csa = cs_sketch(o, "k", CS_D, CS_W, hash_fn=_cs_hash, sign_fn=_cs_sign)
+    csb = cs_sketch(li, "k", CS_D, CS_W, hash_fn=_cs_hash, sign_fn=_cs_sign)
+    est = cs_inner_product(csa, csb, CS_D)
+    exact = o.join(li, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_join_size")
+    )
+    return est.crossJoin(exact)
+
+
+def _cs_cells_sql(src: str) -> str:
+    return f"""
+(SELECT t.s AS seed,
+   (({HA1} * k + {HB1} + t.s * {HA2}) % {HP30}) % {CS_W} AS bucket,
+   sum(1 - 2 * ((({HA2} * k + {HB2} + t.s * {HA1}) % {HP30}) % 2)) AS val
+ FROM {src}, unnest(range(0, {CS_D})) AS t(s) GROUP BY 1, 2)
+"""
+
+
+Q31_SQL = f"""
+WITH a AS (SELECT o_orderkey AS k FROM orders),
+b AS (SELECT l_orderkey AS k FROM lineitem),
+ca AS {_cs_cells_sql('a')},
+cb AS {_cs_cells_sql('b')},
+dots AS (SELECT s.s AS seed, coalesce(sum(ca.val * cb.val), 0) AS dot
+         FROM unnest(range(0, {CS_D})) AS s(s)
+         LEFT JOIN ca ON ca.seed = s.s
+         LEFT JOIN cb ON cb.seed = ca.seed AND cb.bucket = ca.bucket
+         GROUP BY s.s)
+SELECT CAST(median(dot) AS BIGINT) AS est_join_size,
+  (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (k)) AS exact_join_size
+FROM dots
+"""
+
+
+# ---------------------------------------------------------------------------
+# q32 — first-k-of-union bottom-k Jaccard walk numerator (mh.h:201-220:
+#        among the k smallest of A ∪ B, count those in both — NOT |A∩B|/k).
+#        Candidates from the shared-minimizer equi-join (exact superset:
+#        every element counted by the walk is a shared bottom-k value).
+# ---------------------------------------------------------------------------
+
+
+def q32_bottomk_union_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingle_hashes(spark, sf_dir)
+    bk = sh.select(
+        "doc_id",
+        "source",
+        F.slice(F.array_sort(F.array_distinct("shingles")), 1, K_PAIR).alias("bk"),
+    )
+    ex = bk.select("doc_id", "source", F.explode("bk").alias("h"))
+    cand = (
+        ex.alias("x")
+        .join(
+            ex.alias("y"),
+            (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    ba = bk.select(F.col("doc_id").alias("a"), F.col("bk").alias("_ba"))
+    bb = bk.select(F.col("doc_id").alias("b"), F.col("bk").alias("_bb"))
+    union_k = F.slice(F.array_sort(F.array_union("_ba", "_bb")), 1, K_PAIR)
+    shared = F.size(F.array_intersect(F.array_intersect(union_k, "_ba"), "_bb"))
+    return (
+        cand.join(ba, "a")
+        .join(bb, "b")
+        .select(
+            F.col("a").alias("a_doc"),
+            F.col("b").alias("b_doc"),
+            shared.cast("long").alias("shared_unionk"),
+        )
+        .where(F.col("shared_unionk") >= 1)
+    )
+
+
+Q32_SQL = (
+    SQL_DOC_SHINGLE_HASHES
+    + f"""
+, bk AS (SELECT doc_id, source,
+    list_slice(list_sort(list_distinct(shingles)), 1, {K_PAIR}) AS bk FROM sh)
+, pairs AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+    len(list_intersect(list_intersect(
+      list_slice(list_sort(list_distinct(list_concat(a.bk, b.bk))), 1, {K_PAIR}),
+      a.bk), b.bk)) AS s
+  FROM bk a JOIN bk b ON a.source = b.source AND a.doc_id < b.doc_id)
+SELECT a_doc, b_doc, CAST(s AS BIGINT) AS shared_unionk
+FROM pairs WHERE s >= 1
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1023,8 +1595,16 @@ QUERIES = {
     "q20_containment_pairs": q20_containment_pairs,
     "q21_orders_with_heavy_lineitem": q21_orders_with_heavy_lineitem,
     "q22_customers_without_orders": q22_customers_without_orders,
-    "q23_hll_distinct_users": q23_hll_distinct_users,
+    "q23_hll_registers": q23_hll_registers,
     "q24_median_quantity": q24_median_quantity,
+    "q25_densified_registers": q25_densified_registers,
+    "q26_weighted_overlap": q26_weighted_overlap,
+    "q27_cm_estimates": q27_cm_estimates,
+    "q28_bloom_probe": q28_bloom_probe,
+    "q29_compressed_registers": q29_compressed_registers,
+    "q30_srp_signs": q30_srp_signs,
+    "q31_join_size_cs": q31_join_size_cs,
+    "q32_bottomk_union_walk": q32_bottomk_union_walk,
 }
 
 ORACLES = {
@@ -1050,6 +1630,14 @@ ORACLES = {
     "q20_containment_pairs": Q20_SQL,
     "q21_orders_with_heavy_lineitem": Q21_SQL,
     "q22_customers_without_orders": Q22_SQL,
-    # q23 intentionally has no oracle: approximate estimator -> rows-only
+    "q23_hll_registers": Q23_SQL,
     "q24_median_quantity": Q24_SQL,
+    "q25_densified_registers": Q25_SQL,
+    "q26_weighted_overlap": Q26_SQL,
+    "q27_cm_estimates": Q27_SQL,
+    "q28_bloom_probe": Q28_SQL,
+    "q29_compressed_registers": Q29_SQL,
+    "q30_srp_signs": Q30_SQL,
+    "q31_join_size_cs": Q31_SQL,
+    "q32_bottomk_union_walk": Q32_SQL,
 }

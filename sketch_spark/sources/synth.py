@@ -222,10 +222,8 @@ def generate(cfg: SynthConfig | None = None) -> SynthCorpus:
         as the pipeline's winnowing pass; O(n) per pair vs O(n^2) LCS)."""
         from sketch_spark.operators.suffix import _kgram_hashes
 
-        a = SEP.join(convs[a_id])
-        b = SEP.join(convs[b_id])
-        ab = a.encode()
-        bb = b.encode()
+        ab = SEP.join(convs[a_id])
+        bb = SEP.join(convs[b_id])
         ha = _kgram_hashes(ab, k)
         hb = _kgram_hashes(bb, k)
         if ha.size == 0 or hb.size == 0:

@@ -23,8 +23,8 @@ def test_queries_are_callables_with_names():
 
 
 def test_rows_only_queries_documented():
-    # q23 is approximate by design -> intentionally no oracle
+    # every query has a value oracle (q23 gained a register-exact one)
     q = E.queries()
     o = E.oracle_sql()
     rows_only = set(q) - set(o)
-    assert rows_only == {"q23_hll_distinct_users"}
+    assert rows_only == set()

@@ -27,6 +27,33 @@ def test_entry_smoke(spark):
     assert set(df.columns) >= {"doc_id", "cluster_id"}
 
 
+def test_poly_docs_matches_column_folds(spark):
+    """The vectorized-Python hash memo (_poly_docs) must be value-identical
+    to the independent pure-Column fold implementations."""
+    from pyspark.sql import functions as F
+
+    from sketch_spark.functions import text as T
+    from sketch_spark.plans import entry_queries as EQ
+
+    got = {
+        r.doc_id: (list(r.shingles), list(r.h60))
+        for r in EQ._poly_docs(spark, SF).collect()
+    }
+    col_sh = {
+        r.doc_id: list(r.s)
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", T.poly_shingle_hashes_col(F.col("text"), 3).alias("s"))
+        .collect()
+    }
+    col_h60 = {
+        r.doc_id: list(r.h60) for r in EQ._build_h60_expr(spark, SF).collect()
+    }
+    assert set(got) == set(col_sh) == set(col_h60)
+    for d in got:
+        assert got[d][0] == col_sh[d], d
+        assert got[d][1] == col_h60[d], d
+
+
 @pytest.mark.parametrize("name", sorted(E.queries().keys()))
 def test_query_vs_oracle(spark, duck, name):
     fn = E.queries()[name]

@@ -22,14 +22,50 @@ def test_bbit_truncate_and_corrected_jaccard(spark):
     assert abs(r.one - 1.0) < 1e-12 and abs(r.zero) < 1e-12
 
 
-def test_compress_signature_group_min(spark):
-    # p=3 (8 regs) -> p_new=2 (4 regs): out[i] = min(sig[i], sig[i+4])
+def test_compress_signature_reference_semantics(spark):
+    # p=3 (8 regs) -> p_new=2: contiguous blocks of 2 (bbmh.h:933-951);
+    # out[i] = min(sig[2i] + 0, sig[2i+1] + 2^61) = sig[2i] when non-null
     sig = [50, 10, 70, 20, 30, 60, 5, 90]
     df = spark.createDataFrame([(sig,)], "sig array<long>")
     got = df.select(
         MH.compress_signature_col(F.col("sig"), 3, 2).alias("c")
     ).collect()[0].c
-    assert got == [30, 10, 5, 20]
+    assert got == [50, 70, 30, 5]
+    # empty (null) first slot: falls through to sig[2i+1] + increment
+    sig2 = [None, 10, None, None, 30, 60, 5, 90]
+    df2 = spark.createDataFrame([(sig2,)], "sig array<long>")
+    got2 = df2.select(
+        MH.compress_signature_col(F.col("sig"), 3, 2).alias("c")
+    ).collect()[0].c
+    assert got2 == [10 + (1 << 61), None, 30, 5]
+
+
+def test_compress_matches_native_build(spark):
+    """compress(p) is register-identical to a natively built p_new sketch
+    over the same hashes (the discarded bucket bits become the top value
+    bits) — the compress-then-compare == compare-then-compress property of
+    bbmhtest.cpp:143-151."""
+    rng = np.random.default_rng(7)
+    hashes = [int(v) for v in rng.integers(-(2**63), 2**63, size=400, dtype=np.int64)]
+    df = spark.createDataFrame([("c", h) for h in hashes], "conv_id string, h long")
+    sig6 = MH.one_perm_signature(df, p=6)
+    comp = sig6.select(
+        MH.compress_signature_col(F.col("sig"), 6, 4).alias("sig")
+    ).collect()[0].sig
+    native = MH.one_perm_signature(df, p=4).collect()[0].sig
+    assert comp == native
+
+
+def test_hll_compress_matches_native_build(spark):
+    from sketch_spark.operators import hll as HL
+
+    rng = np.random.default_rng(11)
+    hashes = [int(v) for v in rng.integers(-(2**63), 2**63, size=3000, dtype=np.int64)]
+    df = spark.createDataFrame([("g", h) for h in hashes], "g string, h long")
+    r8 = HL.hll_registers(df, "g", "h", p=8)
+    comp = r8.select(HL.hll_compress_col(F.col("regs"), 8, 5).alias("regs")).collect()[0].regs
+    native = HL.hll_registers(df, "g", "h", p=5).collect()[0].regs
+    assert comp == native
 
 
 def test_containment(spark):
