@@ -92,10 +92,21 @@ def srp_topk(
     dim: int = 64,
     band_bits: int = 8,
     seed: int = 42,
+    bucket_cap: int = 1024,
+    max_cand_per_query: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: band the SRP signature into n_bits/band_bits bands,
     equi-join query and corpus bands, exact cosine re-rank of candidates.
-    Recall grows with #bands; cost stays per-bucket."""
+    Recall grows with #bands; cost stays per-bucket.
+
+    Hot-bucket bound (same pattern as lsh.candidate_pairs): corpus members
+    of one (band, bkey) bucket are capped at `bucket_cap`, ranked by a
+    band-diversified deterministic hash — a bucket holding near-duplicate
+    embedding mass (|q∩bucket| x |corpus∩bucket| candidate rows) cannot
+    explode the join, and each corpus vector still gets n_bands independent
+    draws to survive a cap.  `max_cand_per_query` adds the reference's
+    maxcand early stop (ssi.h:387-444): per query keep the top candidates
+    by #matching bands (specificity) before the exact re-rank."""
     from pyspark.sql import Window
 
     n_bands = n_bits // band_bits
@@ -119,12 +130,28 @@ def srp_topk(
 
     qb = bands(queries, "q")
     cb = bands(corpus, "n")
+    wcap = Window.partitionBy("band", "bkey").orderBy(
+        F.xxhash64(F.col("n_id"), F.col("band")), F.col("n_id")
+    )
+    cb = (
+        cb.withColumn("_rn", F.row_number().over(wcap))
+        .where(F.col("_rn") <= bucket_cap)
+        .drop("_rn")
+    )
     cands = (
         qb.join(cb, ["band", "bkey"])
         .where(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id")
-        .distinct()
+        .groupBy("q_id", "n_id")
+        .agg(F.count(F.lit(1)).alias("_nb"))
     )
+    if max_cand_per_query is not None:
+        wq = Window.partitionBy("q_id").orderBy(F.desc("_nb"), F.asc("n_id"))
+        cands = (
+            cands.withColumn("_rq", F.row_number().over(wq))
+            .where(F.col("_rq") <= max_cand_per_query)
+            .drop("_rq")
+        )
+    cands = cands.drop("_nb")
     qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
     nv = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
     scored = (

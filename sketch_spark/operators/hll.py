@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -170,6 +171,227 @@ def hll_compress_col(regs: Column, p: int, p_new: int) -> Column:
 def hll_est_error(p: int = DEFAULT_P) -> float:
     """Relative standard error ~1.03896/sqrt(m) (hll.h est_err)."""
     return 1.03896 / math.sqrt(1 << p)
+
+
+# ---------------------------------------------------------------------------
+# Ertl estimator tier (reference hll.h:240-250 ERTL_IMPROVED, hll.h:629-691
+# ERTL_MLE, hll.h:698-750 joint MLE; Ertl arXiv:1702.01284).  numpy/python
+# per-sketch math — one row per group, off the per-element hot path — with
+# pandas_udf wrappers for DataFrame use.  Tested with the reference's own
+# tolerance protocol (testsrc/hlltest.cpp:62-88).
+# ---------------------------------------------------------------------------
+
+
+def _gen_sigma(x: float) -> float:
+    """hll.h gen_sigma (power-series helper for ERTL_IMPROVED)."""
+    if x == 1.0:
+        return float("inf")
+    z, zp, y = x, 0.0, 1.0
+    while z != zp:
+        x *= x
+        zp = z
+        z += x * y
+        y += y
+        if math.isnan(z):
+            return zp
+    return z
+
+
+def _gen_tau(x: float) -> float:
+    """hll.h gen_tau."""
+    if x == 0.0 or x == 1.0:
+        return 0.0
+    z, y, zp = 1.0 - x, 1.0, x
+    while zp != z:
+        x = math.sqrt(x)
+        zp = z
+        y *= 0.5
+        tmp = 1.0 - x
+        z -= tmp * tmp * y
+    return z / 3.0
+
+
+def hll_registers_np(hashes, p: int):
+    """numpy register builder (test oracle / driver-side tier): same
+    semantics as hll_registers — bucket = top p bits, value =
+    clz(remaining)+1, integer-exact rho via 32-bit split."""
+    import numpy as np
+
+    h = np.asarray(hashes, dtype=np.uint64)
+    vb = 64 - p
+    bucket = (h >> np.uint64(vb)).astype(np.int64)
+    rem = h & np.uint64((1 << vb) - 1)
+    hi = (rem >> np.uint64(32)).astype(np.float64)
+    lo = (rem & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    rho = np.where(
+        rem == 0,
+        vb + 1,
+        np.where(
+            hi > 0,
+            vb - 32 - np.floor(np.log2(np.maximum(hi, 1.0))),
+            vb - np.floor(np.log2(np.maximum(lo, 1.0))),
+        ),
+    ).astype(np.int64)
+    regs = np.zeros(1 << p, dtype=np.int64)
+    np.maximum.at(regs, bucket, rho)
+    return regs
+
+
+def reg_histogram(regs, q: int):
+    """counts[k] = #registers with value k, k in 0..q+1."""
+    import numpy as np
+
+    return np.bincount(np.asarray(regs, dtype=np.int64), minlength=q + 2)
+
+
+def ertl_improved_estimate(counts, p: int, q: int | None = None) -> float:
+    """ERTL_IMPROVED (hll.h:240-250): sigma/tau-corrected raw estimate —
+    no empirical bias tables, valid across the whole range."""
+    m = 1 << p
+    q = q if q is not None else 64 - p
+    divinv = 1.0 / (2.0 * math.log(2.0))
+    z = m * _gen_tau((m - counts[q + 1]) / m)
+    for i in range(q, 0, -1):
+        z += counts[i]
+        z *= 0.5
+    z += m * _gen_sigma(counts[0] / m)
+    return m * divinv * m / z
+
+
+def ertl_ml_estimate(counts, p: int, q: int, relerr: float = 1e-2) -> float:
+    """ERTL_MLE (hll.h:629-691; Ertl Algorithm 8): maximum-likelihood
+    cardinality from the register histogram via the secant method."""
+    m = 1 << p
+    if counts[q + 1] == m:
+        return float("inf")
+    k_min = 0
+    while counts[k_min] == 0:
+        k_min += 1
+    k_min_prime = max(1, k_min)
+    k_max = q + 1
+    while k_max and counts[k_max] == 0:
+        k_max -= 1
+    k_max_prime = min(q, k_max)
+    z = 0.0
+    for k in range(k_max_prime, k_min_prime - 1, -1):
+        z = 0.5 * z + counts[k]
+    z = math.ldexp(z, -k_min_prime)
+    c_prime = counts[q + 1]
+    if q:
+        c_prime += counts[k_max_prime]
+    a = z + counts[0]
+    m_prime = m - counts[0]
+    g_prev = z + math.ldexp(counts[q + 1], -q)
+    x = m_prime / (0.5 * g_prev + a) if g_prev <= 1.5 * a else (
+        m_prime / g_prev
+    ) * math.log1p(g_prev / a)
+    g_prev = 0.0
+    delta_x = x
+    relerr /= math.sqrt(m)
+    while delta_x > x * relerr:
+        kappa_minus1 = math.frexp(x)[1]
+        x_prime = math.ldexp(x, -max(k_max_prime + 1, kappa_minus1 + 2))
+        x_prime2 = x_prime * x_prime
+        h = x_prime - x_prime2 / 3 + (x_prime2 * x_prime2) * (
+            1.0 / 45.0 - x_prime2 / 472.5
+        )
+        for _ in range(kappa_minus1, k_max_prime - 1, -1):
+            h_prime = 1.0 - h
+            h = (x_prime + h * h_prime) / (x_prime + h_prime)
+            x_prime += x_prime
+        g = c_prime * h
+        for k in range(k_max_prime - 1, k_min_prime - 1, -1):
+            h_prime = 1.0 - h
+            h = (x_prime + h * h_prime) / (x_prime + h_prime)
+            x_prime += x_prime
+            g += counts[k] * h
+        g += x * a
+        if g_prev < g <= m_prime:
+            delta_x *= (g - m_prime) / (g_prev - g)
+        else:
+            delta_x = 0.0
+        x += delta_x
+        g_prev = g
+    return x * m
+
+
+def ertl_joint_estimate(regs_a, regs_b, p: int, q: int | None = None):
+    """Joint MLE triple (hll.h:698-750 ertl_joint): (A-only, B-only, A∩B)
+    cardinalities from two register vectors — far lower variance than
+    inclusion–exclusion exactly where users care (small intersections of
+    large sets)."""
+    import numpy as np
+
+    q = q if q is not None else 64 - p
+    m = 1 << p
+    va = np.asarray(regs_a, dtype=np.int64)
+    vb = np.asarray(regs_b, dtype=np.int64)
+    assert va.size == m and vb.size == m
+    mx = np.maximum(va, vb)
+    c1 = np.bincount(va, minlength=q + 2)
+    c2 = np.bincount(vb, minlength=q + 2)
+    cu = np.bincount(mx, minlength=q + 2)
+    eq = va == vb
+    ceq = np.bincount(va[eq], minlength=q + 2)
+    cg1 = np.bincount(va[va > vb], minlength=q + 2)
+    cg2 = np.bincount(vb[vb > va], minlength=q + 2)
+    c_ax = ertl_ml_estimate(c1, p, q)
+    c_bx = ertl_ml_estimate(c2, p, q)
+    c_abx = ertl_ml_estimate(cu, p, q)
+    counts_axb = np.zeros(q + 2, dtype=np.int64)
+    counts_bxa = np.zeros(q + 2, dtype=np.int64)
+    counts_axb[q] = m
+    counts_bxa[q] = m
+    for k in range(q):
+        counts_axb[k] = cg1[k] + ceq[k] + cg2[k + 1]
+        counts_axb[q] -= counts_axb[k]
+        counts_bxa[k] = cg2[k] + ceq[k] + cg1[k + 1]
+        counts_bxa[q] -= counts_bxa[k]
+    c_axb_half = ertl_ml_estimate(counts_axb, p, q - 1)
+    c_bxa_half = ertl_ml_estimate(counts_bxa, p, q - 1)
+    a_only = c_abx - c_bx
+    b_only = c_abx - c_ax
+    cx1 = 1.5 * c_bx + 1.5 * c_ax - c_bxa_half - c_axb_half
+    cx2 = 2.0 * (c_bxa_half + c_axb_half) - 3.0 * c_abx
+    inter = max(0.0, 0.5 * (cx1 + cx2))
+    return a_only, b_only, inter
+
+
+def hll_estimate_udf(regs_col: Column, p: int, method: str = "ertl_mle",
+                     hash_bits: int = 64) -> Column:
+    """Vectorized pandas_udf estimate over a regs array column.
+    method: 'ertl_mle' (default, reference's default estim) or
+    'ertl_improved'."""
+
+    q = hash_bits - p
+
+    @F.pandas_udf("double")
+    def est(regs: pd.Series) -> pd.Series:
+        out = []
+        for r in regs:
+            c = reg_histogram(r, q)
+            if method == "ertl_improved":
+                out.append(ertl_improved_estimate(c, p, q))
+            else:
+                out.append(ertl_ml_estimate(c, p, q))
+        return pd.Series(out, dtype="float64")
+
+    return est(regs_col)
+
+
+def hll_joint_udf(a_col: Column, b_col: Column, p: int,
+                  hash_bits: int = 64) -> Column:
+    """Joint-MLE triple as struct<a_only, b_only, n_inter> over two regs
+    array columns (pairwise comparison surface, hll.h:1188-1252)."""
+
+    q = hash_bits - p
+
+    @F.pandas_udf("a_only double, b_only double, n_inter double")
+    def joint(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        rows = [ertl_joint_estimate(x, y, p, q) for x, y in zip(a, b)]
+        return pd.DataFrame(rows, columns=["a_only", "b_only", "n_inter"])
+
+    return joint(a_col, b_col)
 
 
 def hll_union_size_col(a: Column, b: Column, p: int = DEFAULT_P) -> Column:

@@ -78,18 +78,31 @@ def candidate_pairs(
         family passes and stays one connected component via the root,
         at O(cap^2 + n) pairs per bucket instead of O(n^2).
 
-    Plan: one shuffle on (band, key); the census, window, head-collect and
-    tail-root join all reuse that partitioning (no extra exchanges).
+    Plan: ONE exchange on (band, key) serves everything — bucket size,
+    rank, and the rank-1 root are all window functions over that
+    partitioning (count / row_number / running first), the head-collect
+    groupBy reuses it, and the tail links read the root straight off their
+    own rows (no census join, no roots join).  At bench scale the previous
+    groupBy+join formulation pushed the 30M-row band table through the
+    shuffle three times; shuffle bytes through the one shared NVMe are what
+    bound measured scaling.
     """
     from pyspark.sql import Window
 
-    counts = bands_df.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
-    multi = counts.where(F.col("_n") >= 2).select("band", "key")
-    mb = bands_df.join(multi, ["band", "key"])
-    w = Window.partitionBy("band", "key").orderBy(
+    w_rank = Window.partitionBy("band", "key").orderBy(
         F.xxhash64(F.col(id_col), F.col("band")), F.col(id_col)
     )
-    ranked = mb.withColumn("_rn", F.row_number().over(w))
+    w_all = Window.partitionBy("band", "key")
+    ranked = bands_df.select(
+        F.col(id_col),
+        "band",
+        "key",
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        F.row_number().over(w_rank).alias("_rn"),
+        # running first over the rank order == the bucket's rank-1 root,
+        # visible to every row of the bucket without a join
+        F.first(F.col(id_col)).over(w_rank).alias("_root"),
+    ).where(F.col("_n") >= 2)
     heads = ranked.where(F.col("_rn") <= bucket_cap)
     buckets = (
         heads.groupBy("band", "key")
@@ -103,19 +116,14 @@ def candidate_pairs(
         .select("a", F.explode("ids").alias("b"))
         .where(F.col("a") < F.col("b"))
     )
-    roots = ranked.where(F.col("_rn") == 1).select(
-        "band", "key", F.col(id_col).alias("_root")
-    )
     # one root-link per over-cap member per band would be 64x redundant;
     # `link_bands` bands (with band-diversified roots) give each member
     # that many independent verified chances to join the component.
-    tails = (
-        ranked.where((F.col("_rn") > bucket_cap) & (F.col("band") < link_bands))
-        .join(roots, ["band", "key"])
-        .select(
-            F.least(F.col(id_col), F.col("_root")).alias("a"),
-            F.greatest(F.col(id_col), F.col("_root")).alias("b"),
-        )
+    tails = ranked.where(
+        (F.col("_rn") > bucket_cap) & (F.col("band") < link_bands)
+    ).select(
+        F.least(F.col(id_col), F.col("_root")).alias("a"),
+        F.greatest(F.col(id_col), F.col("_root")).alias("b"),
     )
     pairs = head_pairs.unionByName(tails)
     return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_bands"))

@@ -422,6 +422,100 @@ def weighted_jaccard_py(a: list[tuple[int, int]], b: list[tuple[int, int]]) -> f
     return num / den if den else 0.0
 
 
+# ---------------------------------------------------------------------------
+# Weighted MinHash signatures (reference bmh.h:219-701 BagMinHash /
+# ProbMinHash).  Two constructions:
+#
+#   * prob_minhash_np — pmh1-style shared exponential clocks: register j
+#     holds the element winning the race min_e( -ln(u(e,j)) / w(e) ) with
+#     u(e,j) derived from WangHash, shared across sketches.  Collision
+#     probability of a register equals Ertl's PROBABILITY Jaccard
+#     J_P(A,B) = sum_e 1 / sum_f max(wA(f)/wA(e), wB(f)/wB(e))
+#     (the quantity pmh1/2/3 estimate).
+#   * expand_weighted_elements — exact reduction of integer-weighted sets
+#     to plain sets of (element, level) sub-elements, level < weight:
+#     plain Jaccard of the expansions IS sum(min)/sum(max) (what
+#     BagMinHash estimates), so the whole unweighted one-perm/LSH stack
+#     applies unchanged.  Linear in total weight — the right trade for
+#     shingle multiplicities (small counts); BagMinHash's sampling tricks
+#     only pay off at huge weights.
+# ---------------------------------------------------------------------------
+
+_PMH_GOLDEN = 0x9E3779B97F4A7C15
+
+
+def prob_minhash_np(
+    df: DataFrame,
+    minimizers_col: str = "minimizers",
+    id_col: str = "conv_id",
+    m: int = 64,
+    out_col: str = "psig",
+) -> DataFrame:
+    """(id, array<struct<h long, cnt long>>) -> (id, psig array<long> of m
+    winning element hashes).  One numpy batch per Arrow chunk; deterministic
+    (WangHash-derived uniforms), so equal weighted sets give equal
+    signatures.  Empty/null rows -> null signature."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    golden = np.uint64(_PMH_GOLDEN)
+
+    def gen(batches):
+        js = np.arange(m, dtype=np.uint64)
+        for pdf in batches:
+            out = []
+            for row in pdf[minimizers_col]:
+                if row is None or len(row) == 0:
+                    out.append(None)
+                    continue
+                hs = np.array([e["h"] for e in row], dtype=np.int64).astype(np.uint64)
+                ws = np.array([e["cnt"] for e in row], dtype=np.float64)
+                with np.errstate(over="ignore"):
+                    mixed = wanghash_np(hs[:, None] + golden * js[None, :])
+                # uniform in (0, 1]: (hash + 1) / 2^64
+                u = (mixed.astype(np.float64) + 1.0) / 18446744073709551616.0
+                t = -np.log(u) / ws[:, None]
+                winners = hs[np.argmin(t, axis=0)]
+                out.append(winners.astype(np.int64).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
+
+    return df.select(id_col, minimizers_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, {out_col} array<long>"
+    )
+
+
+def prob_jaccard_py(a: list[tuple[int, int]], b: list[tuple[int, int]]) -> float:
+    """Probability Jaccard J_P (Ertl; what prob_minhash registers collide
+    with): sum over shared e of 1 / sum_f max(wA(f)/wA(e), wB(f)/wB(e))."""
+    da, db = dict(a), dict(b)
+    shared = set(da) & set(db)
+    total = 0.0
+    for e in shared:
+        s = 0.0
+        for f in set(da) | set(db):
+            s += max(da.get(f, 0) / da[e], db.get(f, 0) / db[e])
+        total += 1.0 / s
+    return total
+
+
+def expand_weighted_elements(
+    elems: DataFrame,
+    hash_col: str = "h",
+    count_col: str = "cnt",
+    out_col: str = "h",
+) -> DataFrame:
+    """(…, h, cnt) -> one row per (h, level), level in [0, cnt), with
+    out_col = xxhash64(h, level): the exact integer-weight reduction —
+    plain Jaccard over the expanded sets equals sum(min)/sum(max) of the
+    weighted sets, so every unweighted signature/LSH operator applies."""
+    other = [c for c in elems.columns if c not in (hash_col, count_col)]
+    return elems.select(
+        *other,
+        F.col(hash_col).alias("_wh"),
+        F.explode(F.sequence(F.lit(0), F.col(count_col).cast("long") - 1)).alias(
+            "_lvl"
+        ),
+    ).select(*other, F.xxhash64(F.col("_wh"), F.col("_lvl")).alias(out_col))
+
+
 def kmv_cardinality_col(bottomk: Column, k: int, hash_bits: int = 64) -> Column:
     """KMV estimate (k-1) * range / kth_min — reference mh.h:359-362.
 

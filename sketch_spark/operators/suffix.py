@@ -127,13 +127,24 @@ def substring_candidate_pairs(
     """
     from pyspark.sql import Window
 
-    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
-    multi = counts.where(F.col("_n") >= 2).select("fp")
-    mf = fps.join(multi, ["fp"])
-    w = Window.partitionBy("fp").orderBy(
+    # ONE exchange on fp: bucket size, rank, and the rank-1 root (id, pos)
+    # are window functions over the same partitioning — the previous
+    # census-groupBy + join + roots-join pushed the fingerprint table
+    # through the shuffle three times (this stage dominates pipeline wall
+    # time; shuffle bytes through the one shared NVMe bound scaling).
+    w_rank = Window.partitionBy("fp").orderBy(
         F.xxhash64(F.col(id_col), F.col("fp")), F.col(id_col)
     )
-    ranked = mf.withColumn("_rn", F.row_number().over(w))
+    w_all = Window.partitionBy("fp")
+    ranked = fps.select(
+        F.col(id_col),
+        "fp",
+        "pos",
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        F.row_number().over(w_rank).alias("_rn"),
+        F.first(F.col(id_col)).over(w_rank).alias("_rid"),
+        F.first(F.col("pos")).over(w_rank).alias("_rpos"),
+    ).where(F.col("_n") >= 2)
     heads = ranked.where(F.col("_rn") <= cap)
     buckets = (
         heads.groupBy("fp")
@@ -151,9 +162,6 @@ def substring_candidate_pairs(
             F.col("ib").getField("pos").alias("pos_b"),
         )
     )
-    roots = ranked.where(F.col("_rn") == 1).select(
-        "fp", F.col(id_col).alias("_rid"), F.col("pos").alias("_rpos")
-    )
     # subsample tail links ~1-in-8 fingerprints per member (template convs
     # share dozens of hot fingerprints; one verified root link connects a
     # member, a handful gives redundancy — all of them is pure waste)
@@ -165,7 +173,6 @@ def substring_candidate_pairs(
                 | (F.pmod(F.xxhash64("fp", F.col(id_col)), F.lit(8)) == 0)
             )
         )
-        .join(roots, ["fp"])
         .select(
             F.when(F.col(id_col) < F.col("_rid"), F.col(id_col)).otherwise(F.col("_rid")).alias("a"),
             F.when(F.col(id_col) < F.col("_rid"), F.col("_rid")).otherwise(F.col(id_col)).alias("b"),

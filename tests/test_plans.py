@@ -68,6 +68,34 @@ def test_dedup_shingle_path_has_no_python_udf(spark):
     assert "xxhash64" in plan.lower() or "xxhash" in plan.lower()
 
 
+def test_candidate_pairs_has_no_joins(spark):
+    """The LSH candidate stage must be join-free: bucket census, rank and
+    rank-1 root all come from window functions over ONE (band, key)
+    exchange — the census-join formulation shuffled the band table three
+    times and bounded measured scaling."""
+    from sketch_spark.operators import lsh
+
+    bands = spark.createDataFrame(
+        [(f"c{i}", b, i % 3) for i in range(12) for b in range(2)],
+        "conv_id string, band int, key long",
+    )
+    plan = _plan(lsh.candidate_pairs(bands))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 4
+
+
+def test_substring_candidates_have_no_joins(spark):
+    from sketch_spark.operators import suffix
+
+    fps = spark.createDataFrame(
+        [(f"c{i}", i % 3, i) for i in range(12)],
+        "conv_id string, fp long, pos int",
+    )
+    plan = _plan(suffix.substring_candidate_pairs(fps))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 4
+
+
 def test_exact_verify_uses_native_array_intersect(spark):
     from sketch_spark.operators.dedup import DedupConfig, DedupPipeline
     # plan-shape check only: build the verify expression over tiny data

@@ -68,6 +68,45 @@ def test_cm_sketch_point_queries(spark):
         assert est[k] <= true + 200  # small stream, wide table: tight
 
 
+def test_count_sketch_point_and_joinsize(spark):
+    """Count sketch (reference cs_t, ccm.h): signed-median point estimates
+    are unbiased where Count-Min only overestimates, and the inner product
+    of two sketches estimates the join size (join_size_l2est)."""
+    rng = np.random.default_rng(17)
+    # zipf-ish: key k appears ~ 2000/k times
+    keys_a = [int(k) for k in rng.zipf(1.3, size=4000) if k < 1000]
+    df_a = spark.createDataFrame([(k,) for k in keys_a], "k long")
+    d, w = 5, 1 << 10
+    cs = frequency.cs_sketch(df_a, "k", d, w)
+    from collections import Counter
+
+    truth = Counter(keys_a)
+    top = [k for k, _ in truth.most_common(5)]
+    keys_df = spark.createDataFrame([(k,) for k in top], "k long")
+    est = {
+        r.k: r.est_count
+        for r in frequency.cs_query(cs, keys_df, "k", d, w).collect()
+    }
+    # additive error ~ ||f||_2 / sqrt(w) per row; median over 5 rows
+    l2 = sum(v * v for v in truth.values()) ** 0.5
+    tol = 4 * l2 / (w ** 0.5) + 2
+    for k in top:
+        assert abs(est[k] - truth[k]) <= tol, (k, est[k], truth[k])
+    # join size vs a second multiset
+    keys_b = [int(k) for k in rng.zipf(1.3, size=4000) if k < 1000]
+    df_b = spark.createDataFrame([(k,) for k in keys_b], "k long")
+    csb = frequency.cs_sketch(df_b, "k", d, w)
+    est_js = frequency.cs_inner_product(cs, csb, d).collect()[0].est_join_size
+    truth_b = Counter(keys_b)
+    exact_js = sum(truth[k] * truth_b.get(k, 0) for k in truth)
+    l2b = sum(v * v for v in truth_b.values()) ** 0.5
+    js_tol = 4 * l2 * l2b / (w ** 0.5) + 2
+    assert abs(est_js - exact_js) <= js_tol, (est_js, exact_js, js_tol)
+    # F2 moment
+    est_f2 = frequency.cs_l2_moment(cs, d).collect()[0].est_f2
+    assert abs(est_f2 - l2 * l2) <= 4 * (2 / w) ** 0.5 * l2 * l2 + 2
+
+
 def test_top_k_deterministic(spark):
     rows = [("a",)] * 5 + [("b",)] * 5 + [("c",)] * 3
     df = spark.createDataFrame(rows, "k string")
@@ -120,6 +159,29 @@ def test_ann_brute_force_vs_srp_recall(spark, sf_dir):
     assert recall >= 0.6, recall  # 4-bit bands: high candidate rate
 
 
+def test_srp_bucket_cap_and_maxcand(spark, sf_dir):
+    """Hot-bucket bound: a tight bucket_cap + per-query maxcand must keep
+    the join bounded WITHOUT collapsing recall (band-diversified ranks give
+    every corpus vector n_bands independent draws — the lesson of the LSH
+    root-link fix applies here too)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")  # 500 vectors
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = ann.brute_force_topk(emb, queries, k=3)
+    capped = ann.srp_topk(
+        emb, queries, k=3, band_bits=4, bucket_cap=64, max_cand_per_query=100
+    )
+    ex = {(r.q_id, r.n_id) for r in exact.collect()}
+    ap_rows = capped.collect()
+    ap = {(r.q_id, r.n_id) for r in ap_rows}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, recall
+    # per-query output is still exactly top-k shaped
+    from collections import Counter
+
+    per_q = Counter(r.q_id for r in ap_rows)
+    assert all(v <= 3 for v in per_q.values())
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media(spark, n=48)
     feats = multimodal.extract_features(media, fake=True)
@@ -138,6 +200,26 @@ def test_multimodal_plumbing(spark):
     plan = multimodal.frame_sample_plan(media, every_n=10)
     vid = media.where(F.col("kind") == "video").count()
     assert plan.select("media_id").distinct().count() == vid
+
+
+def test_multimodal_real_decode(spark):
+    """Real decode path: netpbm images and PCM WAVs produce real features
+    (grid-mean / windowed RMS) matching a local recomputation; video (no
+    stdlib codec) yields null features."""
+    media = multimodal.synth_media(spark, n=24)
+    feats = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    payloads = {r.media_id: (bytes(r.payload), r.kind) for r in media.collect()}
+    n_real = 0
+    for mid, (payload, kind) in payloads.items():
+        got = feats[mid].features
+        expect = multimodal.decode_features(payload, kind)
+        if kind == "video":
+            assert got is None
+            continue
+        assert expect is not None and got is not None, (mid, kind)
+        assert np.allclose(got, expect, atol=1e-6), mid
+        n_real += 1
+    assert n_real == 16  # 8 images + 8 audios of 24 round-robin rows
 
 
 def test_simhash_np_matches_sql(spark):

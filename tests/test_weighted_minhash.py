@@ -1,0 +1,108 @@
+"""Weighted MinHash tier (reference bmh.h BagMinHash / ProbMinHash):
+probability-Jaccard collision law of prob_minhash_np, and the exact
+integer-weight expansion reduction."""
+
+import numpy as np
+import pytest
+
+from sketch_spark.operators import minhash as MH
+
+
+def _wset(pairs):
+    return [{"h": h, "cnt": c} for h, c in pairs]
+
+
+A = [(101, 3), (202, 1), (303, 2), (404, 5), (505, 1)]
+B = [(101, 1), (202, 1), (303, 4), (606, 2)]
+
+
+def _sig_df(spark, m):
+    df = spark.createDataFrame(
+        [("a", _wset(A)), ("b", _wset(B))],
+        "conv_id string, minimizers array<struct<h long, cnt long>>",
+    )
+    sigs = MH.prob_minhash_np(df, m=m)
+    return {r.conv_id: r.psig for r in sigs.collect()}
+
+
+def test_prob_minhash_collision_law(spark):
+    """Fraction of equal registers estimates PROBABILITY Jaccard J_P
+    (Ertl), within 3 binomial sigmas at m=2048."""
+    m = 2048
+    sig = _sig_df(spark, m)
+    frac = sum(1 for x, y in zip(sig["a"], sig["b"]) if x == y) / m
+    jp = MH.prob_jaccard_py(A, B)
+    sigma = (jp * (1 - jp) / m) ** 0.5
+    assert abs(frac - jp) <= 3 * sigma + 1e-9, (frac, jp)
+
+
+def test_prob_minhash_determinism_and_identity(spark):
+    m = 256
+    df = spark.createDataFrame(
+        [("x", _wset(A)), ("y", _wset(A)), ("empty", [])],
+        "conv_id string, minimizers array<struct<h long, cnt long>>",
+    )
+    got = {r.conv_id: r.psig for r in MH.prob_minhash_np(df, m=m).collect()}
+    assert got["x"] == got["y"]  # equal weighted sets -> equal signatures
+    assert got["empty"] is None
+    # winners are drawn from the set's own element hashes
+    assert set(got["x"]) <= {h for h, _ in A}
+
+
+def test_prob_minhash_disjoint_never_collides(spark):
+    m = 512
+    disj = [(999_001 + i, 2) for i in range(5)]
+    df = spark.createDataFrame(
+        [("a", _wset(A)), ("d", _wset(disj))],
+        "conv_id string, minimizers array<struct<h long, cnt long>>",
+    )
+    got = {r.conv_id: r.psig for r in MH.prob_minhash_np(df, m=m).collect()}
+    assert sum(1 for x, y in zip(got["a"], got["d"]) if x == y) == 0
+
+
+def test_prob_jaccard_py_bounds():
+    jp = MH.prob_jaccard_py(A, B)
+    jw = MH.weighted_jaccard_py(A, B)
+    assert 0.0 < jp < 1.0
+    assert 0.0 < jw < 1.0
+    assert MH.prob_jaccard_py(A, A) == pytest.approx(1.0)
+
+
+def test_expand_weighted_exact_reduction(spark):
+    """Plain Jaccard of the (h, level) expansions equals sum(min)/sum(max)
+    of the weighted sets — the exact identity that lets the unweighted
+    one-perm/LSH stack serve weighted dedup."""
+    df = spark.createDataFrame(
+        [("a", h, c) for h, c in A] + [("b", h, c) for h, c in B],
+        "conv_id string, h long, cnt long",
+    )
+    ex = MH.expand_weighted_elements(df)
+    sets = {}
+    for r in ex.collect():
+        sets.setdefault(r.conv_id, set()).add(r.h)
+    inter = len(sets["a"] & sets["b"])
+    union = len(sets["a"] | sets["b"])
+    assert inter / union == pytest.approx(MH.weighted_jaccard_py(A, B))
+    # per-set sizes = total weights
+    assert len(sets["a"]) == sum(c for _, c in A)
+    assert len(sets["b"]) == sum(c for _, c in B)
+
+
+def test_expanded_one_perm_estimates_weighted_jaccard(spark):
+    """End-to-end: expansion -> one-perm signatures -> register-equality
+    fraction tracks the weighted Jaccard (merge/agg machinery unchanged)."""
+    rng = np.random.default_rng(3)
+    big_a = [(int(h), int(rng.integers(1, 6))) for h in rng.integers(0, 2**40, 60)]
+    big_b = [(h, max(1, c + int(rng.integers(-1, 2)))) for h, c in big_a[:40]] + [
+        (int(h), int(rng.integers(1, 6))) for h in rng.integers(2**41, 2**42, 20)
+    ]
+    df = spark.createDataFrame(
+        [("a", h, c) for h, c in big_a] + [("b", h, c) for h, c in big_b],
+        "conv_id string, h long, cnt long",
+    )
+    ex = MH.expand_weighted_elements(df)
+    sig = MH.densify_signatures(MH.one_perm_signature(ex, p=7), p=7)
+    got = {r.conv_id: r.sig for r in sig.collect()}
+    frac = sum(1 for x, y in zip(got["a"], got["b"]) if x == y) / 128
+    jw = MH.weighted_jaccard_py(big_a, big_b)
+    assert abs(frac - jw) <= 3 * (jw * (1 - jw) / 128) ** 0.5 + 0.02, (frac, jw)
