@@ -1,0 +1,181 @@
+"""HyperMinHash (reference hmh.h:34-781; Yoon/Kishore LSH-preserving
+HLL+MinHash fusion): one 2^p-register sketch whose registers carry BOTH a
+leading-zero count (the HLL half, 6 bits) and an r-bit sub-bucket
+remainder from an independent hash (the MinHash half):
+
+    register = max over elements of (lzc << r) | rem        (hmh.h:355-366)
+      lzc = clz(((h1 << 1) | 1) << (p - 1)) + 1              (capped 65-p)
+      rem = h2 & (2^r - 1)
+
+so the same sketch answers cardinality (Ertl-MLE over the lzc histogram —
+estimate_hll_portion, hmh.h:367-375, the reference's own path for
+n < 1024·2^p) AND Jaccard: equal nonzero registers collide for shared
+elements by MinHash logic, and the r extra mantissa bits push random
+collisions down to ~2^-r per filled bucket; the estimator subtracts the
+analytically expected random collisions (expected_collisions,
+hmh.h:462-489):
+
+    J ≈ max(0, (C - E_C) / N)
+      C = #(equal AND nonzero), N = #(nonzero in either)
+
+(Yoon's paper form; the reference's jaccard_index expression at
+hmh.h:519-529 multiplies instead of dividing by the same factors — we
+follow the paper and test against planted truth.)
+
+Register size rsize ∈ {8,16,32,64} → r = rsize - 6 (q = 6 lzc bits,
+hmh.h:70-77).  Merge = element-wise max (commutative monoid), so the build
+is the usual two-level partial+final aggregation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HMH_SEED2 = 0x9E3779B9  # seed for the independent mantissa hash
+Q_LZC = 6  # lzc bits per register (hmh.h:70)
+
+
+def _bit_length_col(x: Column) -> Column:
+    """Integer-exact bit_length of a non-negative-interpreted uint64 column
+    (32-bit split before log2, as in hll.hll_registers)."""
+    hi = F.shiftrightunsigned(x, 32)
+    lo = x.bitwiseAND(F.lit(0xFFFFFFFF))
+    return (
+        F.when(x == 0, F.lit(0))
+        .when(hi > 0, F.lit(33) + F.floor(F.log2(hi.cast("double"))).cast("int"))
+        .otherwise(F.lit(1) + F.floor(F.log2(lo.cast("double"))).cast("int"))
+    )
+
+
+def hmh_registers(
+    elems: DataFrame,
+    group_col: str = "g",
+    hash_col: str = "h",
+    p: int = 10,
+    rsize: int = 16,
+) -> DataFrame:
+    """(group, h) -> (group, regs array<long> of 2^p HyperMinHash
+    registers).  h must be a well-mixed 64-bit hash; the mantissa half uses
+    an independent xxhash64 of it.  Empty buckets are 0."""
+    assert rsize in (8, 16, 32, 64)
+    r = rsize - Q_LZC
+    m = 1 << p
+    rbm = (1 << r) - 1
+    h1 = F.col(hash_col)
+    bucket = F.shiftrightunsigned(h1, 64 - p)
+    # x = ((h1 << 1) | 1) << (p - 1); lzc(x) + 1  (hmh.h:356-358).
+    # Shifts are bitwise (ANSI-safe); the |1 guard caps lzc at 65 - p.
+    x = F.shiftleft(F.shiftleft(h1, 1).bitwiseOR(F.lit(1)), p - 1)
+    lzc = F.lit(64) - _bit_length_col(x) + F.lit(1)
+    rem = F.xxhash64(h1, F.lit(HMH_SEED2)).bitwiseAND(F.lit(rbm))
+    reg = F.shiftleft(lzc.cast("long"), r).bitwiseOR(rem)
+    per_bucket = (
+        elems.select(F.col(group_col).alias("_g"), bucket.alias("bucket"), reg.alias("reg"))
+        .groupBy("_g", "bucket")
+        .agg(F.max("reg").alias("mx"))
+    )
+    return (
+        per_bucket.groupBy("_g")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "mx"))).alias("mm"))
+        .select(
+            F.col("_g").alias(group_col),
+            F.array(
+                *[
+                    F.coalesce(
+                        F.element_at(F.col("mm"), F.lit(i).cast("long")),
+                        F.lit(0).cast("long"),
+                    )
+                    for i in range(m)
+                ]
+            ).alias("regs"),
+        )
+    )
+
+
+def hmh_merge_col(a: Column, b: Column) -> Column:
+    """Union = element-wise max (hmh.h register monoid)."""
+    return F.zip_with(a, b, lambda x, y: F.greatest(x, y))
+
+
+def hmh_cardinality_udf(regs_col: Column, p: int, rsize: int = 16) -> Column:
+    """Ertl-MLE over the lzc histogram (estimate_hll_portion,
+    hmh.h:367-375)."""
+    from sketch_spark.operators.hll import ertl_ml_estimate
+
+    r = rsize - Q_LZC
+    q = 64 - p
+
+    @F.pandas_udf("double")
+    def est(regs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for rr in regs:
+            lzc = np.asarray(rr, dtype=np.int64) >> r
+            counts = np.bincount(lzc, minlength=q + 2)
+            out.append(max(ertl_ml_estimate(counts, p, q), 0.0))
+        return pd.Series(out, dtype="float64")
+
+    return est(regs_col)
+
+
+def hmh_cc_nc_cols(a: Column, b: Column) -> tuple[Column, Column]:
+    """(C, N): equal-and-nonzero count, nonzero-in-either count
+    (__calc_cc_nc, hmh.h:537-548)."""
+    cc = F.size(
+        F.filter(F.zip_with(a, b, lambda x, y: (x == y) & (x != 0)), lambda v: v)
+    )
+    nc = F.size(
+        F.filter(F.zip_with(a, b, lambda x, y: (x != 0) | (y != 0)), lambda v: v)
+    )
+    return cc, nc
+
+
+def hmh_expected_collisions_py(
+    n: float, m: float, p: int, rsize: int = 16
+) -> float:
+    """Expected random register collisions between independent sketches of
+    cardinalities n and m (hmh.h:462-489, the HyperMinHash paper's exact
+    double sum; ported literally including the trailing x*p + 0.5 and the
+    caller's /p, hmh.h:460)."""
+    r = rsize - Q_LZC
+    if n < m:
+        n, m = m, n
+    tq = 64
+    tr = 1 << r
+    x = 0.0
+
+    def incx(b1: float, b2: float) -> float:
+        prx = (1.0 - b2) ** n - (1.0 - b1) ** n
+        pry = (1.0 - b2) ** m - (1.0 - b1) ** m
+        return prx * pry
+
+    for i in range(1, tq):
+        di = math.ldexp(1.0, -(p + r + i - 1))
+        b1, b2 = 0.0, di
+        for _ in range(1, tr + 1):
+            b1 += di
+            b2 += di
+            x += incx(b1, b2)
+    di = math.ldexp(1.0, -(p + r + tq))
+    b1 = tr * di
+    b2 = b1 + di
+    for _ in range(tr):
+        b1 += di
+        b2 += di
+        x += incx(b1, b2)
+    return (x * p + 0.5) / p
+
+
+def hmh_jaccard_py(
+    cc: int, nc: int, card_a: float, card_b: float, p: int, rsize: int = 16
+) -> float:
+    """Ĵ = max(0, (C - E_C) / N) (paper form; see module docstring)."""
+    if not nc:
+        return 0.0
+    ec = hmh_expected_collisions_py(card_a, card_b, p, rsize)
+    return max(0.0, (cc - ec) / nc)
