@@ -86,6 +86,52 @@ def wanghash_col(col: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# MurFinHash (murmur3 64-bit finalizer) — reference hash.h:466-476, the
+# alternative element hasher the sketches accept instead of WangHash.
+# ---------------------------------------------------------------------------
+
+_MF_C1 = U64(0xFF51AFD7ED558CCD)
+_MF_C2 = U64(0xC4CEB9FE1A85EC53)
+
+
+def murfinhash_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized murmur3 finalizer, bit-exact vs reference hash.h:466-476."""
+    key = np.asarray(x, dtype=U64)
+    with np.errstate(over="ignore"):
+        key = key ^ (key >> U64(33))
+        key = key * _MF_C1
+        key = key ^ (key >> U64(33))
+        key = key * _MF_C2
+        key = key ^ (key >> U64(33))
+    return key
+
+
+def murfinhash_col(col: Column) -> Column:
+    """MurFinHash as a Spark Column over LongType (two's-complement
+    wraparound == uint64; requires non-ANSI session, like wanghash_col)."""
+    c1 = 0xFF51AFD7ED558CCD - (1 << 64)  # as signed int64 literals
+    c2 = 0xC4CEB9FE1A85EC53 - (1 << 64)
+    k = col.bitwiseXOR(F.shiftrightunsigned(col, 33))
+    k = k * F.lit(c1)
+    k = k.bitwiseXOR(F.shiftrightunsigned(k, 33))
+    k = k * F.lit(c2)
+    k = k.bitwiseXOR(F.shiftrightunsigned(k, 33))
+    return k
+
+
+def murfinhash_py(v: int) -> int:
+    """Scalar mirror (unsigned)."""
+    m = (1 << 64) - 1
+    v &= m
+    v ^= v >> 33
+    v = (v * 0xFF51AFD7ED558CCD) & m
+    v ^= v >> 33
+    v = (v * 0xC4CEB9FE1A85EC53) & m
+    v ^= v >> 33
+    return v
+
+
+# ---------------------------------------------------------------------------
 # XXH64 — pure-Python mirror of Spark's builtin xxhash64 (oracle use only)
 # ---------------------------------------------------------------------------
 

@@ -80,6 +80,35 @@ def cm_query(
     return joined.groupBy(key_col).agg(F.min("cnt").cast("long").alias("est_count"))
 
 
+def cm_sketch_decayed(
+    elems: DataFrame,
+    key_col: str,
+    ts_col: str,
+    now,
+    half_life_s: float,
+    d: int = 4,
+    w: int = 1 << 14,
+    hash_fn: Callable[[Column, Column], Column] = xxhash_family,
+) -> DataFrame:
+    """Count-Min with exponential time decay (reference realccm_t,
+    mult.h:43-170: counts that fade for concept drift): each occurrence
+    contributes 2^(-age / half_life) instead of 1, so the cell sum IS the
+    decayed count as of `now` — still a plain commutative sum, so
+    partial+final aggregation and mergeability are untouched.  `now` is a
+    timestamp Column (cast to double = epoch seconds); cells are
+    (seed, bucket, cnt double)."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
+    age_s = now.cast("double") - F.col(ts_col).cast("double")
+    weight = F.pow(F.lit(2.0), -age_s / F.lit(half_life_s))
+    ex = elems.select(F.col(key_col).alias("_k"), weight.alias("_w"), seeds)
+    cells = ex.select(
+        "seed",
+        F.pmod(hash_fn(F.col("_k"), F.col("seed")), F.lit(w)).alias("bucket"),
+        "_w",
+    )
+    return cells.groupBy("seed", "bucket").agg(F.sum("_w").alias("cnt"))
+
+
 def default_sign_family(key: Column, seed: Column) -> Column:
     """±1 from an independent xxhash64 bit (seed offset decorrelates it from
     the bucket family)."""

@@ -84,6 +84,34 @@ def bloom_build(
     )
 
 
+def bloom_cardinality_col(bits: Column, n_bits: int, n_hashes: int) -> Column:
+    """Cardinality from bit density (reference bf.h:83-90):
+    n ≈ -(m/k) * ln(1 - X/m), X = #set bits.  Saturated filters (X == m)
+    return null."""
+    x = F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, w: acc + F.bit_count(w)
+    ).cast("double")
+    frac = x / F.lit(float(n_bits))
+    return F.when(
+        frac < 1.0, -F.lit(n_bits / n_hashes) * F.log(F.lit(1.0) - frac)
+    )
+
+
+def bloom_union_col(a: Column, b: Column) -> Column:
+    """Union of filters = bitwise OR (bf.cpp:25-35 merge monoid)."""
+    return F.zip_with(a, b, lambda x, y: x.bitwiseOR(y))
+
+
+def bloom_jaccard_col(a: Column, b: Column, n_bits: int, n_hashes: int) -> Column:
+    """Set Jaccard from two (same-shape) Bloom bitsets via cardinality
+    inversion of A, B and A∪B (reference bf_t::jaccard_index,
+    bf.h:385-440): J = (|A| + |B| - |A∪B|) / |A∪B|."""
+    ca = bloom_cardinality_col(a, n_bits, n_hashes)
+    cb = bloom_cardinality_col(b, n_bits, n_hashes)
+    cu = bloom_cardinality_col(bloom_union_col(a, b), n_bits, n_hashes)
+    return F.greatest((ca + cb - cu) / cu, F.lit(0.0))
+
+
 def bloom_probe(
     probe: DataFrame,
     bloom: DataFrame,

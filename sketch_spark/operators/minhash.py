@@ -184,6 +184,40 @@ def one_perm_signature_from_array(
     return df.withColumn(out_col, F.when(F.size(arr) > 0, sig))
 
 
+def one_perm_signature_mod(
+    shingles: DataFrame,
+    group_col: str = "conv_id",
+    hash_col: str = "h",
+    m: int = 100,
+    value_seed: int = 7,
+) -> DataFrame:
+    """Non-power-of-2 register count (reference DivBBitMinHasher,
+    bbmh.h:766-832: bucket = fastmod(h, m)).  Spark's longs are signed, so
+    instead of the reference's quotient the register VALUE is an
+    independent xxhash64 of the element — an equally valid minhash value
+    (what matters is a fixed uniform value per element) that stays
+    engine-portable.  -> (group, sig array<long> with nulls, length m)."""
+    per_bucket = (
+        shingles.select(
+            F.col(group_col).alias("_g"),
+            F.pmod(F.col(hash_col), F.lit(m)).alias("bucket"),
+            F.xxhash64(F.col(hash_col), F.lit(value_seed)).alias("value"),
+        )
+        .groupBy("_g", "bucket")
+        .agg(F.min("value").alias("mv"))
+    )
+    return (
+        per_bucket.groupBy("_g")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "mv"))).alias("mm"))
+        .select(
+            F.col("_g").alias(group_col),
+            F.array(
+                *[F.element_at(F.col("mm"), F.lit(i).cast("long")) for i in range(m)]
+            ).alias("sig"),
+        )
+    )
+
+
 def densify_batch(mat: np.ndarray, empty: np.ndarray, m: int) -> np.ndarray:
     """Vectorized optimal densification over a whole Arrow batch at once.
 

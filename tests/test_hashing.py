@@ -81,3 +81,27 @@ def test_shingle_window_semantics(spark):
         ).collect()
     ]
     assert sizes == [0, 1, 2]
+
+
+def test_murfinhash_parity(spark):
+    """MurFinHash (hash.h:466-476): numpy, scalar and Column agree
+    bit-exactly; the finalizer is well-mixing (no fixed point at small
+    ints)."""
+    import numpy as np
+
+    from sketch_spark.functions.hashing import (
+        murfinhash_col,
+        murfinhash_np,
+        murfinhash_py,
+    )
+
+    vals = [0, 1, 2, 1337, 2**63 - 1, 2**64 - 1, 0xDEADBEEF]
+    np_out = murfinhash_np(np.array(vals, dtype=np.uint64))
+    for v, nv in zip(vals, np_out):
+        assert murfinhash_py(v) == int(nv)
+    signed = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
+    df = spark.createDataFrame([(v,) for v in signed], "x long")
+    got = [r.h for r in df.select(murfinhash_col(F.col("x")).alias("h")).collect()]
+    expect = [int(n) - (1 << 64) if int(n) >= (1 << 63) else int(n) for n in np_out]
+    assert got == expect
+    assert murfinhash_py(1) not in (0, 1)

@@ -68,6 +68,75 @@ def test_cm_sketch_point_queries(spark):
         assert est[k] <= true + 200  # small stream, wide table: tight
 
 
+def test_cm_sketch_decayed(spark):
+    """Exponential-decay CM (realccm_t analog): an old occurrence
+    contributes 2^(-age/half_life); estimates for a key seen long ago fade
+    below a key seen now."""
+    from datetime import datetime
+
+    rows = [("hot", datetime(2026, 1, 1, 12, 0, 0))] * 10 + [
+        ("cold", datetime(2026, 1, 1, 0, 0, 0))
+    ] * 10
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    now = F.lit(datetime(2026, 1, 1, 12, 0, 0)).cast("timestamp")
+    cm = frequency.cm_sketch_decayed(df, "k", "ts", now, half_life_s=3600.0, d=3, w=64)
+    cells = {(r.seed, r.bucket): r.cnt for r in cm.collect()}
+    # probe manually: min over seeds of matching cells
+    import math
+
+    def est(key):
+        vals = []
+        for s in range(3):
+            b = df.sparkSession.range(1).select(
+                F.pmod(F.xxhash64(F.lit(key), F.lit(s)), F.lit(64)).alias("b")
+            ).collect()[0].b
+            vals.append(cells.get((s, b), 0.0))
+        return min(vals)
+
+    assert abs(est("hot") - 10.0) < 1e-6
+    assert est("cold") == pytest.approx(10 * 2 ** -12, rel=1e-6, abs=1e-9)
+
+
+def test_bloom_cardinality_and_jaccard(spark):
+    """Bloom bitset estimators (bf.h:83-90, 385-440): cardinality from bit
+    density, Jaccard via union inversion."""
+    from sketch_spark.operators import membership as MB
+
+    n_bits, k = 8192, 4
+    a_keys = spark.range(0, 900).select(F.col("id").alias("k"))
+    b_keys = spark.range(600, 1500).select(F.col("id").alias("k"))
+    ba = MB.bloom_build(a_keys, "k", n_bits, k).select(F.col("bits").alias("a"))
+    bb = MB.bloom_build(b_keys, "k", n_bits, k).select(F.col("bits").alias("b"))
+    row = ba.crossJoin(bb).select(
+        MB.bloom_cardinality_col(F.col("a"), n_bits, k).alias("ca"),
+        MB.bloom_jaccard_col(F.col("a"), F.col("b"), n_bits, k).alias("j"),
+    ).collect()[0]
+    assert abs(row.ca - 900) / 900 < 0.05, row.ca
+    true_j = 300 / 1500
+    assert abs(row.j - true_j) < 0.05, row.j
+
+
+def test_one_perm_signature_mod(spark):
+    """Non-pow2 register count (DivBBitMinHasher analog): m=100 buckets via
+    pmod, equal sets give equal signatures, collision fraction tracks J."""
+    from sketch_spark.operators import minhash as MH
+
+    rng = np.random.default_rng(31)
+    a = [int(v) for v in rng.integers(0, 2**62, 500)]
+    b = a[:300] + [int(v) for v in rng.integers(2**62, 2**63, 200)]
+    true_j = len(set(a) & set(b)) / len(set(a) | set(b))
+    rows = [("a", h) for h in a] + [("b", h) for h in b] + [("a2", h) for h in a]
+    df = spark.createDataFrame(rows, "conv_id string, h long")
+    m = 100
+    sig = {r.conv_id: r.sig for r in MH.one_perm_signature_mod(df, m=m).collect()}
+    assert sig["a"] == sig["a2"]
+    both = [
+        (x, y) for x, y in zip(sig["a"], sig["b"]) if x is not None and y is not None
+    ]
+    frac = sum(1 for x, y in both if x == y) / len(both)
+    assert abs(frac - true_j) <= 3 * (true_j * (1 - true_j) / m) ** 0.5 + 0.02
+
+
 def test_count_sketch_point_and_joinsize(spark):
     """Count sketch (reference cs_t, ccm.h): signed-median point estimates
     are unbiased where Count-Min only overestimates, and the inner product
