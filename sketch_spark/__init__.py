@@ -1,9 +1,12 @@
 """sketch_spark — a PySpark-native near-duplicate detection & clustering engine.
 
 Re-expresses the query capabilities of dnbaker/sketch (MinHash bottom-k/KMV,
-one-permutation b-bit MinHash, HyperLogLog, Count-Min, HeavyKeeper top-k, LSH
-candidate retrieval, pairwise Jaccard/containment/intersection estimation) as
-idiomatic Spark DataFrame plans, plus the surrounding large-scale
+one-permutation b-bit MinHash, SuperMinHash, weighted/ProbMinHash signatures,
+HyperLogLog with the Ertl MLE + joint-MLE estimator tier, SetSketch,
+HyperMinHash, Count-Min and count sketches, Bloom filters, HeavyKeeper top-k,
+LSH candidate retrieval, pairwise Jaccard/containment/intersection
+estimation) as idiomatic Spark DataFrame plans, plus the surrounding
+large-scale
 training-data-pipeline operators (exact/near dedup, SimHash, suffix-based
 exact-substring dedup, connected-components clustering, ANN similarity search,
 text quality analysis, multimodal column plumbing).

@@ -250,23 +250,29 @@ MIN_SHARED = 4
 
 
 def q04_kmv_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates from the shared-minimizer equi-join (the reference's
+    bottom-k index mode, ssi.h:125-131) instead of an all-pairs join within
+    source: n_shared >= MIN_SHARED implies >= 1 shared minimizer, so the
+    equi-join is an exact superset and the output is oracle-identical."""
     sh = _doc_shingle_hashes(spark, sf_dir)
     bk = sh.select(
         "doc_id",
         "source",
         F.slice(F.array_sort(F.array_distinct("shingles")), 1, K_PAIR).alias("bk"),
     )
-    a = bk.alias("a")
-    b = bk.alias("b")
-    return (
-        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("a_doc"),
-            F.col("b.doc_id").alias("b_doc"),
-            F.size(F.array_intersect(F.col("a.bk"), F.col("b.bk"))).cast("long").alias("n_shared"),
+    ex = bk.select("doc_id", "source", F.explode("bk").alias("h"))
+    cand = (
+        ex.alias("x")
+        .join(
+            ex.alias("y"),
+            (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .where(F.col("n_shared") >= MIN_SHARED)
+        .groupBy(F.col("x.doc_id").alias("a_doc"), F.col("y.doc_id").alias("b_doc"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+    return cand.where(F.col("n_shared") >= MIN_SHARED)
 
 
 Q04_SQL = (
@@ -505,21 +511,48 @@ HAM_MAX = 12
 
 
 def q08_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-index Hamming prefilter instead of all-pairs: split the 60-bit
+    SimHash into HAM_MAX+1 = 13 chunks; any pair within Hamming distance 12
+    differs in at most 12 chunks, so it matches EXACTLY on at least one
+    (pigeonhole) — the chunk equi-join is an exact candidate superset and
+    the XOR verify makes the output oracle-identical."""
     sim = q07_simhash(spark, sf_dir)
     src = _docs(spark, sf_dir).select("doc_id", "source")
     sim = sim.join(src, "doc_id")
-    a = sim.alias("a")
-    b = sim.alias("b")
-    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("a_doc"),
-            F.col("b.doc_id").alias("b_doc"),
-            dist.cast("long").alias("hamming"),
-        )
-        .where(F.col("hamming") <= HAM_MAX)
+    n_chunks = HAM_MAX + 1
+    bounds = [round(60 * c / n_chunks) for c in range(n_chunks + 1)]
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.shiftrightunsigned(F.col("simhash"), bounds[c])
+                .bitwiseAND(F.lit((1 << (bounds[c + 1] - bounds[c])) - 1))
+                .alias("k"),
+            )
+            for c in range(n_chunks)
+        ]
     )
+    ex = sim.select("doc_id", "source", "simhash", F.explode(keys).alias("ck"))
+    cand = (
+        ex.alias("x")
+        .join(
+            ex.alias("y"),
+            (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.ck") == F.col("y.ck"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a_doc"),
+            F.col("y.doc_id").alias("b_doc"),
+            F.col("x.simhash").alias("_sa"),
+            F.col("y.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return cand.select(
+        "a_doc", "b_doc", dist.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= HAM_MAX)
 
 
 Q08_SQL = (

@@ -54,6 +54,27 @@ def test_poly_docs_matches_column_folds(spark):
         assert got[d][1] == col_h60[d], d
 
 
+def test_queries_are_ansi_safe(spark):
+    """The driver owns its session and Spark 4 defaults ANSI on; every
+    queries() plan must be overflow-free under strict arithmetic (mod-prime
+    folds, bit ops, bounded products only).  The memo is cleared so plans
+    re-build under the strict conf."""
+    from sketch_spark.plans import entry_queries as EQ
+
+    for df in EQ._MEMO.values():
+        df.unpersist()
+    EQ._MEMO.clear()
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for name, fn in E.queries().items():
+            assert fn(spark, SF).count() >= 0, name
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        for df in EQ._MEMO.values():
+            df.unpersist()
+        EQ._MEMO.clear()
+
+
 @pytest.mark.parametrize("name", sorted(E.queries().keys()))
 def test_query_vs_oracle(spark, duck, name):
     fn = E.queries()[name]
