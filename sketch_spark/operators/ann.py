@@ -1,17 +1,23 @@
 """Approximate nearest-neighbor search over embedding columns.
 
-Two tiers:
+Three tiers:
   * brute-force cosine top-k — the exact baseline: broadcast the query set,
     JVM-side zip_with dot products, window top-k.  Linear scan; correct at
     any scale where queries are few.
   * LSH-bucketed (random hyperplane / SRP): sign-bit signatures via a
     vectorized pandas UDF (one matmul per Arrow batch), candidate
     generation by signature-band equi-join (same bucket shuffle pattern as
-    the MinHash LSH), exact re-rank inside candidates.  The scale path:
-    shuffle is per-bucket, never all-pairs.
+    the MinHash LSH, capped buckets + per-query maxcand), exact re-rank
+    inside candidates.
+  * IVF (inverted-file index): k-means centroids trained driver-side on a
+    bounded deterministic sample (the centroid table IS the broadcast
+    model — the standard IVF shape), corpus rows assigned to their nearest
+    cell, queries probe their n_probe nearest cells, candidates = cell
+    equi-join, exact re-rank.  Recall is tuned by n_probe; cost stays
+    per-cell, never all-pairs.
 
-The random hyperplanes are seeded deterministically (numpy PCG64), so the
-index is reproducible — the engine's determinism contract extends here.
+All randomness is seeded (numpy PCG64 / xxhash64), so every index is
+reproducible — the engine's determinism contract extends here.
 """
 
 from __future__ import annotations
@@ -152,6 +158,119 @@ def srp_topk(
             .drop("_rq")
         )
     cands = cands.drop("_nb")
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    nv = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        cands.join(F.broadcast(qv), "q_id")
+        .join(nv, "n_id")
+        .select("q_id", "n_id", cosine_col(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cos")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic k-means coarse quantizer on L2-normalized vectors
+    (spherical k-means == cosine cells).  The training sample is the
+    `sample` rows with the smallest xxhash64(id) — a deterministic uniform
+    sample whose collect is bounded by `sample`, independent of corpus
+    size (the centroid matrix is a tiny broadcast model, the standard IVF
+    deployment shape)."""
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_r"),
+        )
+        .orderBy("_r")
+        .limit(sample)
+        .select("v")
+        .collect()
+    )
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def ivf_assign(
+    vecs: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    prefix: str = "n",
+) -> DataFrame:
+    """-> (<prefix>_id, cell) rows: each vector's n_probe nearest centroids
+    (1 for corpus rows, >1 for query probing).  One matmul per Arrow
+    batch."""
+    cents = centroids.astype(np.float64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cents.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    f"{prefix}_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    "cell": top.ravel().astype(np.int32),
+                }
+            )
+
+    return vecs.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{prefix}_id long, cell int"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: assign corpus to cells, probe each query's n_probe nearest
+    cells, exact cosine re-rank inside the probed cells.  Candidates per
+    query ~ n_probe/n_cells of the corpus — the knob that trades recall
+    for cost; the join is a cell equi-join, never all-pairs."""
+    from pyspark.sql import Window
+
+    cents = train_ivf_centroids(corpus, id_col, vec_col, n_cells, sample, seed=seed)
+    ca = ivf_assign(corpus, cents, id_col, vec_col, n_probe=1, prefix="n")
+    qa = ivf_assign(queries, cents, id_col, vec_col, n_probe=n_probe, prefix="q")
+    cands = (
+        F.broadcast(qa)
+        .join(ca, "cell")
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
     qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
     nv = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
     scored = (

@@ -12,7 +12,12 @@ the two natural pieces:
     age out instead of exponential decay);
   * streaming one-perm register updates: groupBy(conv, bucket).min over a
     stream in update mode — literally the reference's CAS-min register
-    ingestion (bbmh.h:959-969) as a streaming state.
+    ingestion (bbmh.h:959-969) as a streaming state;
+  * streaming_update_query: the reference's insert-then-query LSH index
+    build (ssi.h:157-209 update_query) as a custom stateful operator
+    (applyInPandasWithState): per-(band, key) bucket state, each arriving
+    signature emits candidate pairs against the members already in its
+    buckets, then joins them — candidates stream out as data streams in.
 """
 
 from __future__ import annotations
@@ -61,4 +66,53 @@ def streaming_one_perm_registers(
         )
         .groupBy(group_col, "bucket")
         .agg(F.min("value").alias("register"))
+    )
+
+
+def streaming_update_query(
+    bands: DataFrame,
+    id_col: str = "conv_id",
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Streaming insert-then-query (reference update_query, ssi.h:157-209):
+    (id, band, key) band rows stream in; per-(band, key) bucket state holds
+    the member list; every arriving id emits one candidate row per member
+    already in the bucket, then joins it.
+
+    State is bounded: buckets keep at most `bucket_cap` members (arrivals
+    beyond the cap still QUERY — they emit pairs against the retained
+    members, the root-link insight of the batch path — they just aren't
+    inserted, so a boilerplate flood cannot grow state or go quadratic).
+    Downstream dedups (a, b) and verifies exactly like the batch pipeline.
+    Append output mode; exactly-once via the streaming checkpoint."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        members: list = list(state.get[0]) if state.exists else []
+        rows_a, rows_b = [], []
+        for pdf in pdfs:
+            for cid in pdf[id_col]:
+                for m in members:
+                    if m != cid:
+                        rows_a.append(min(cid, m))
+                        rows_b.append(max(cid, m))
+                if len(members) < bucket_cap and cid not in members:
+                    members.append(cid)
+        state.update((members,))
+        yield pd.DataFrame(
+            {
+                "a": rows_a,
+                "b": rows_b,
+                "band": [key[0]] * len(rows_a),
+                "key": [key[1]] * len(rows_a),
+            }
+        )
+
+    return bands.groupBy("band", "key").applyInPandasWithState(
+        fn,
+        outputStructType="a string, b string, band int, key long",
+        stateStructType="ids array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

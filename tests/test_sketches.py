@@ -251,6 +251,26 @@ def test_srp_bucket_cap_and_maxcand(spark, sf_dir):
     assert all(v <= 3 for v in per_q.values())
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF scale path: n_probe of n_cells bounds cost; recall vs brute
+    force rises with n_probe and is near-total at n_probe = n_cells."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r.q_id, r.n_id) for r in ann.brute_force_topk(emb, queries, k=3).collect()}
+
+    def recall(n_probe):
+        got = ann.ivf_topk(
+            emb, queries, k=3, n_cells=8, n_probe=n_probe, sample=512
+        ).collect()
+        return len(exact & {(r.q_id, r.n_id) for r in got}) / len(exact)
+
+    r2 = recall(2)
+    r8 = recall(8)
+    assert r8 >= r2
+    assert r8 >= 0.95, (r2, r8)  # probing every cell == exact modulo ties
+    assert r2 >= 0.4, r2
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media(spark, n=48)
     feats = multimodal.extract_features(media, fake=True)

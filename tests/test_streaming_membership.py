@@ -1,5 +1,6 @@
 """Streaming operators (rate-source smoke) + membership/Bloom operators."""
 
+import os
 import time
 
 import pytest
@@ -89,5 +90,49 @@ def test_streaming_one_perm_registers_rate_source(spark):
         # register values fit in 60 bits (p=4)
         mx = spark.sql("select max(register) m from stream_regs").collect()[0].m
         assert 0 <= mx < (1 << 60)
+    finally:
+        q.stop()
+
+
+def test_streaming_update_query_stateful(spark, tmp_path):
+    """The reference's insert-then-query (ssi.h:157-209) as a stateful
+    streaming operator: a batch-2 arrival must pair with a batch-1 member
+    of the same bucket (state survives micro-batches via the checkpoint)."""
+    import time
+
+    from sketch_spark.streaming.topk import streaming_update_query
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        [("c1", 0, 42), ("c2", 0, 42), ("c3", 1, 99)],
+        "conv_id string, band int, key long",
+    ).write.mode("overwrite").parquet(f"{src}/b1")
+
+    stream = spark.readStream.schema("conv_id string, band int, key long").option(
+        "maxFilesPerTrigger", "100"
+    ).parquet(f"{src}/b*")
+    out = streaming_update_query(stream, bucket_cap=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("upq")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {(r.a, r.b) for r in spark.sql("SELECT * FROM upq").collect()}
+        assert ("c1", "c2") in got1
+        assert not any("c3" in p for p in got1)  # alone in its bucket
+        # batch 2: c4 lands in c1/c2's bucket -> pairs with BOTH via state
+        spark.createDataFrame(
+            [("c4", 0, 42)], "conv_id string, band int, key long"
+        ).write.mode("overwrite").parquet(f"{src}/b2")
+        time.sleep(0.2)
+        q.processAllAvailable()
+        got2 = {(r.a, r.b) for r in spark.sql("SELECT * FROM upq").collect()}
+        assert ("c1", "c4") in got2 and ("c2", "c4") in got2
     finally:
         q.stop()
