@@ -284,3 +284,49 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "n_id", "cos")
     )
+
+
+_SHR_GOLDEN = 0x9E3779B97F4A7C15
+
+
+def shrivastava_signature_np(
+    vecs: DataFrame,
+    indices_col: str = "nz",
+    id_col: str = "vec_id",
+    m: int = 64,
+    out_col: str = "shr_sig",
+) -> DataFrame:
+    """Densified one-permutation signatures for sparse FIXED-DIM feature
+    vectors (reference ShrivastavaHash, mh.h:1009-1177): signature j = the
+    first coordinate in hash-j's sampling order that is nonzero in the
+    vector, so P[sig_a[j] == sig_b[j]] = Jaccard of the supports.
+
+    The reference realizes the sampling order by probing
+    wyhash(seed_j + t) mod ndim for t = 0.. (with an optional precomputed
+    mintime cache); here the order is the rank of WangHash(d, j) over the
+    support — the identical distribution (a uniform random order per
+    register, shared across sketches), without materializing ndim probes.
+    Weighted thresholding (set_threshold) maps to pre-filtering the support
+    upstream.  Input: array<int> of nonzero coordinate indices per row."""
+    from sketch_spark.functions.hashing import wanghash_np
+
+    id_type = vecs.schema[id_col].dataType.simpleString()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        js = np.arange(m, dtype=np.uint64)
+        for pdf in batches:
+            out = []
+            for nz in pdf[indices_col]:
+                if nz is None or len(nz) == 0:
+                    out.append(None)
+                    continue
+                d = np.asarray(nz, dtype=np.int64).astype(np.uint64)
+                with np.errstate(over="ignore"):
+                    times = wanghash_np(d[:, None] * np.uint64(_SHR_GOLDEN) + js)
+                winners = np.asarray(nz, dtype=np.int64)[np.argmin(times, axis=0)]
+                out.append(winners.tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
+
+    return vecs.select(id_col, indices_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, {out_col} array<long>"
+    )

@@ -45,19 +45,15 @@ def _inv_u64(b: np.uint64) -> np.uint64:
 _BINV = _inv_u64(_B)
 
 
-def _kgram_hashes(s: str, k: int) -> np.ndarray:
-    """Rolling polynomial hashes (mod 2^64) of all k-grams of s, fully
-    vectorized:  H[i] = B^(k-1) * B^i * (P[i+k] - P[i])  where
+def _kgram_hashes_codes(a: np.ndarray, k: int) -> np.ndarray:
+    """Rolling polynomial hashes (mod 2^64) of all k-grams of a codepoint
+    array, fully vectorized:  H[i] = B^(k-1) * B^i * (P[i+k] - P[i])  where
     P[t] = sum_{j<t} a[j] * Binv^j  (B odd => invertible mod 2^64).
-
-    Hashes are over Unicode CODE POINTS (utf-32 units), not UTF-8 bytes, so
-    fingerprint positions are character indices — the same unit Spark's
-    `substring` and Python string indexing use.  (Byte positions would
-    misalign the verify stage's witness windows on any non-ASCII text.)
-    """
-    a = np.frombuffer(s.encode("utf-32-le", "surrogatepass"), dtype=np.uint32).astype(
-        np.uint64
-    )
+    H[i] depends only on a[i:i+k] (the B^i cancels the Binv^i inside the
+    prefix difference), so hashes computed over a CONCATENATION of many
+    texts are identical to per-text hashes at the corresponding offsets —
+    what lets winnow_fingerprints run ONE pass per Arrow batch."""
+    a = a.astype(np.uint64)
     n = a.size - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64)
@@ -78,6 +74,16 @@ def _kgram_hashes(s: str, k: int) -> np.ndarray:
     return h
 
 
+def _kgram_hashes(s: str, k: int) -> np.ndarray:
+    """Rolling k-gram hashes of one string, over Unicode CODE POINTS
+    (utf-32 units), not UTF-8 bytes — fingerprint positions are character
+    indices, the same unit Spark's `substring` and Python string indexing
+    use.  (Byte positions would misalign the verify stage's witness windows
+    on any non-ASCII text.)"""
+    codes = np.frombuffer(s.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
+    return _kgram_hashes_codes(codes, k)
+
+
 def winnow_fingerprints(
     conv: DataFrame,
     text_col: str = "full_text",
@@ -85,27 +91,48 @@ def winnow_fingerprints(
     L: int = DEFAULT_L,
     k: int = DEFAULT_K,
 ) -> DataFrame:
-    """-> (conv_id, fp long, pos int): winnowed k-gram fingerprints."""
+    """-> (conv_id, fp long, pos int): winnowed k-gram fingerprints.
+
+    The rolling hash runs ONCE over the whole Arrow batch (texts
+    concatenated; k-grams crossing text boundaries are simply never
+    selected because each text only reads its own hash range) — the
+    per-text numpy-call overhead used to dominate this stage's CPU."""
     w = L - k + 1
     assert w >= 1
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, fps, poss = [], [], []
-            for cid, text in zip(pdf[id_col], pdf[text_col]):
-                if text is None:
-                    continue
-                h = _kgram_hashes(text, k)
-                if h.size == 0:
-                    continue
-                if h.size <= w:
-                    sel = np.array([int(np.argmin(h))])
-                else:
-                    win = np.lib.stride_tricks.sliding_window_view(h, w)
-                    sel = np.unique(np.argmin(win, axis=1) + np.arange(win.shape[0]))
-                ids.extend([cid] * len(sel))
-                fps.extend(h[sel].astype(np.int64).tolist())
-                poss.extend(sel.astype(np.int64).tolist())
+            convs = [
+                (cid, text)
+                for cid, text in zip(pdf[id_col], pdf[text_col])
+                if text is not None
+            ]
+            if convs:
+                codes = [
+                    np.frombuffer(
+                        t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+                    )
+                    for _, t in convs
+                ]
+                lens = np.fromiter((c.size for c in codes), dtype=np.int64)
+                allh = _kgram_hashes_codes(np.concatenate(codes), k)
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                for (cid, _), st, ln in zip(convs, starts, lens):
+                    n = int(ln) - k + 1
+                    if n <= 0:
+                        continue
+                    h = allh[st : st + n]
+                    if h.size <= w:
+                        sel = np.array([int(np.argmin(h))])
+                    else:
+                        win = np.lib.stride_tricks.sliding_window_view(h, w)
+                        sel = np.unique(
+                            np.argmin(win, axis=1) + np.arange(win.shape[0])
+                        )
+                    ids.extend([cid] * len(sel))
+                    fps.extend(h[sel].astype(np.int64).tolist())
+                    poss.extend(sel.astype(np.int64).tolist())
             yield pd.DataFrame({"conv_id": ids, "fp": fps, "pos": poss})
 
     return conv.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(

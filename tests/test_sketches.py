@@ -321,3 +321,23 @@ def test_simhash_np_matches_sql(spark):
     sql_out = {r.conv_id: r.simhash for r in simhash.simhash_signatures(df).collect()}
     np_out = {r.conv_id: r.simhash for r in simhash.simhash_signatures_np(df).collect()}
     assert sql_out == np_out
+
+
+def test_shrivastava_signature_support_jaccard(spark):
+    """ShrivastavaHash (mh.h:1009-1177): register-equality fraction of two
+    sparse vectors' signatures estimates the Jaccard of their supports."""
+    m = 1024
+    a = list(range(0, 60))
+    b = list(range(30, 90))  # |inter|=30, |union|=90
+    true_j = 30 / 90
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, a), (4, [])],
+        "vec_id long, nz array<int>",
+    )
+    got = {r.vec_id: r.shr_sig for r in ann.shrivastava_signature_np(df, m=m).collect()}
+    assert got[1] == got[3]  # equal supports -> equal signatures
+    assert got[4] is None
+    frac = sum(1 for x, y in zip(got[1], got[2]) if x == y) / m
+    sigma = (true_j * (1 - true_j) / m) ** 0.5
+    assert abs(frac - true_j) <= 3 * sigma, (frac, true_j)
+    assert set(got[1]) <= set(a)
