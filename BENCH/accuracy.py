@@ -20,7 +20,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sketch_spark.operators.minhash import densify_batch  # noqa: E402
+from sketch_spark.operators.minhash import (  # noqa: E402
+    EMPTY_REG,
+    densify_batch,
+    super_minhash_registers_py,
+)
+from sketch_spark.operators.setsketch import cset_registers_py  # noqa: E402
 
 TRIALS = 50
 N = 1 << 16
@@ -28,13 +33,14 @@ TRUE_J = 1 / 3
 
 
 def one_perm_sig(vals: np.ndarray, p: int) -> np.ndarray:
+    # int64 registers end-to-end (a float64 round-trip corrupts the low
+    # bits of 55-bit values, which is exactly what b-bit compare reads)
     m = 1 << p
     vb = 64 - p
     bucket = (vals >> np.uint64(vb)).astype(np.int64)
-    rem = (vals & np.uint64((1 << vb) - 1)).astype(np.float64)
-    regs = np.full(m, np.inf)  # np.minimum propagates NaN; use inf then swap
+    rem = (vals & np.uint64((1 << vb) - 1)).astype(np.int64)
+    regs = np.full(m, EMPTY_REG, dtype=np.int64)
     np.minimum.at(regs, bucket, rem)
-    regs[np.isinf(regs)] = np.nan
     return regs
 
 
@@ -78,7 +84,7 @@ def main() -> None:
             sa = one_perm_sig(a, p)
             sb = one_perm_sig(b_, p)
             mat = np.vstack([sa, sb])
-            dense = densify_batch(mat, np.isnan(mat), m)
+            dense = densify_batch(mat, mat == EMPTY_REG, m)
             da, db = dense[0].astype(np.uint64), dense[1].astype(np.uint64)
             for bb in ests:
                 ests[bb].append(bbit_jaccard(da, db, bb))
@@ -91,11 +97,32 @@ def main() -> None:
         rows.append((f"bottom-k k={m}", float((e**2).mean()),
                      float(np.abs(e).mean()), float(e.mean())))
 
+    # alternative signature families at m = 512 registers (equal-register
+    # fraction estimators; same planted-J protocol, n = 2^13 per set —
+    # these builders materialize an (n, m) matrix per set, so the protocol
+    # uses smaller sets at the same trial count)
+    m = 512
+    fam = {"SuperMinHash m=512": [], "CSetSketch m=512": []}
+    for _ in range(TRIALS):
+        a, b_, tj = planted_pair(rng, 1 << 13, TRUE_J)
+        ra = super_minhash_registers_py(a.astype(np.int64), m)
+        rb = super_minhash_registers_py(b_.astype(np.int64), m)
+        fam["SuperMinHash m=512"].append(float((ra == rb).mean()))
+        ca = cset_registers_py(a.astype(np.int64), m)
+        cb = cset_registers_py(b_.astype(np.int64), m)
+        fam["CSetSketch m=512"].append(float((ca == cb).mean()))
+    for name, vals in fam.items():
+        e = np.array(vals) - TRUE_J
+        rows.append((name, float((e**2).mean()),
+                     float(np.abs(e).mean()), float(e.mean())))
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "accuracy.md")
     with open(out, "w") as f:
         f.write(
             "# Estimator accuracy vs planted J = 1/3\n\n"
             f"{TRIALS} trials x 2^16 elements per set "
+            "(2^13 for the SuperMinHash/CSetSketch rows, whose builders "
+            "materialize an (n, m) matrix) "
             "(reference benchmark/acc.cpp protocol; numpy mirror of the "
             "Spark operators: same register rule, densification, and "
             "collision-corrected estimator).\n\n"

@@ -410,3 +410,70 @@ def hll_jaccard_col(a: Column, b: Column, p: int = DEFAULT_P) -> Column:
     u = hll_union_size_col(a, b, p)
     i = hll_intersection_size_col(a, b, p)
     return F.when(u > 0, i / u).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# PCSA / Flajolet-Martin (reference pc.h:20-123) — the HLL ancestor: each of
+# m counters is a BITMAP, element sets the bit at the index of the lowest
+# zero bit of its hash remainder (R(x) = ~x & (x+1), pc.h detail);
+# merge = bitwise OR; est = m * 1.292808 * 2^(mean lowest-unset-bit index).
+# Kept for completeness of the distinct-count family; HLL dominates it in
+# space but PCSA's OR-monoid registers quantize losslessly.
+# ---------------------------------------------------------------------------
+
+
+def pcsa_registers(
+    elems: DataFrame,
+    group_col: str = "g",
+    hash_col: str = "h",
+    p: int = 6,
+) -> DataFrame:
+    """(group, h) -> (group, regs array<long> of 2^p OR-merged bitmaps).
+    m = 2^p buckets so ind = h & (m-1) and v = h >>> p reproduce the
+    reference's (h % n, h / n) exactly.  ANSI-safe (pure bit ops; v < 2^63
+    so v+1 cannot overflow)."""
+    m = 1 << p
+    h = F.col(hash_col)
+    v = F.shiftrightunsigned(h, p)
+    bit = F.bitwise_not(v).bitwiseAND(v + 1)  # lowest zero bit, one-hot
+    per_bucket = (
+        elems.select(
+            F.col(group_col).alias("_g"),
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            bit.alias("bm"),
+        )
+        .groupBy("_g", "bucket")
+        .agg(F.expr("bit_or(bm)").alias("mp"))
+    )
+    return (
+        per_bucket.groupBy("_g")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "mp"))).alias("mm"))
+        .select(
+            F.col("_g").alias(group_col),
+            F.array(
+                *[
+                    F.coalesce(
+                        F.element_at(F.col("mm"), F.lit(i).cast("long")),
+                        F.lit(0).cast("long"),
+                    )
+                    for i in range(m)
+                ]
+            ).alias("regs"),
+        )
+    )
+
+
+def pcsa_estimate_col(regs: Column, p: int) -> Column:
+    """est = m * 1.292808 * 2^(mean index of lowest unset bit)
+    (pc.h:72-114; index = popcount(R(y) - 1))."""
+    m = 1 << p
+    idx = lambda y: F.bit_count(  # noqa: E731
+        F.bitwise_not(y).bitwiseAND(y + 1) - 1
+    )
+    mean = (
+        F.aggregate(regs, F.lit(0).cast("long"), lambda acc, y: acc + idx(y)).cast(
+            "double"
+        )
+        / m
+    )
+    return F.lit(m * 1.292808) * F.pow(F.lit(2.0), mean)

@@ -577,29 +577,35 @@ def super_minhash_np(
     id_type = df.schema[id_col].dataType.simpleString()
 
     def gen(batches):
-        js = np.arange(m, dtype=np.uint64)
-        ranks = np.arange(m, dtype=np.float64)
         for pdf in batches:
             out = []
             for arr in pdf[arr_col]:
                 if arr is None or len(arr) == 0:
                     out.append(None)
                     continue
-                hs = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-                with np.errstate(over="ignore"):
-                    pkeys = wanghash_np(hs[:, None] + np.uint64(_SMH_G1) * js)
-                    ukeys = wanghash_np(hs[:, None] + np.uint64(_SMH_G2) * js)
-                perm = np.argsort(pkeys, axis=1)  # rank -> register
-                u = ukeys.astype(np.float64) / 18446744073709551616.0
-                vals = u + ranks[None, :]
-                regs = np.full(m, np.inf)
-                np.minimum.at(regs, perm.ravel(), vals.ravel())
-                out.append(regs.tolist())
+                out.append(super_minhash_registers_py(arr, m).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
 
     return df.select(id_col, arr_col).mapInPandas(
         gen, schema=f"{id_col} {id_type}, {out_col} array<double>"
     )
+
+
+def super_minhash_registers_py(hashes, m: int) -> np.ndarray:
+    """numpy SuperMinHash register builder (shared by the Spark operator
+    and the accuracy harness)."""
+    js = np.arange(m, dtype=np.uint64)
+    hs = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        pkeys = wanghash_np(hs[:, None] + np.uint64(_SMH_G1) * js)
+        ukeys = wanghash_np(hs[:, None] + np.uint64(_SMH_G2) * js)
+    perm = np.argsort(pkeys, axis=1)  # rank -> register
+    vals = ukeys.astype(np.float64) / 18446744073709551616.0 + np.arange(
+        m, dtype=np.float64
+    )
+    regs = np.full(m, np.inf)
+    np.minimum.at(regs, perm.ravel(), vals.ravel())
+    return regs
 
 
 def kmv_cardinality_col(bottomk: Column, k: int, hash_bits: int = 64) -> Column:

@@ -341,3 +341,26 @@ def test_shrivastava_signature_support_jaccard(spark):
     sigma = (true_j * (1 - true_j) / m) ** 0.5
     assert abs(frac - true_j) <= 3 * sigma, (frac, true_j)
     assert set(got[1]) <= set(a)
+
+
+def test_pcsa_estimate_and_or_merge(spark):
+    """PCSA (pc.h): OR-monoid bitmap registers; merge == union; estimate
+    within ~3 * 0.78/sqrt(m) of the truth."""
+    rng = np.random.default_rng(41)
+    n = 30_000
+    a = [int(v) for v in np.unique(rng.integers(-(2**63), 2**63, size=n + 2000, dtype=np.int64))[:n]]
+    rows = [("A", h) for h in a] + [("B", h) for h in a[: n // 2]] + [
+        ("U", h) for h in a
+    ]
+    df = spark.createDataFrame(rows, "g string, h long")
+    p = 8
+    regs = {r.g: r.regs for r in hll.pcsa_registers(df, "g", "h", p).collect()}
+    merged = [x | y for x, y in zip(regs["A"], regs["B"])]
+    assert merged == list(regs["U"])  # B ⊂ A: union bitmap == A's
+    est = (
+        spark.createDataFrame([(regs["A"],)], "regs array<long>")
+        .select(hll.pcsa_estimate_col(F.col("regs"), p).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert abs(est - n) / n < 3 * 0.78 / (1 << p) ** 0.5 + 0.05, est
