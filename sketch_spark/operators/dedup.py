@@ -68,15 +68,17 @@ def document_clusters(
     cfg: DedupConfig | None = None,
 ) -> DataFrame:
     """Near-dup clustering of a flat document table (word-level 3-gram
-    shingles instead of turn-level): the same MinHash/LSH/verify/CC chain,
-    ANSI-safe (usable under a driver-owned session).  Returns
-    (doc_id, cluster_id, canonical_doc_id, cluster_size)."""
+    shingles instead of turn-level): the full exact + MinHash/LSH/verify +
+    winnowing-substring + CC chain, ANSI-safe (usable under a driver-owned
+    session).  Returns (doc_id, cluster_id, canonical_doc_id,
+    cluster_size)."""
     from sketch_spark.functions import text as T
 
     cfg = cfg or DedupConfig()
     ids = F.col(id_col).cast("string")
     conv = docs.select(
         ids.alias("conv_id"),
+        F.col(text_col).alias("full_text"),
         F.xxhash64(F.col(text_col), F.lit(cfg.seed)).alias("full_hash"),
         F.xxhash64(F.col(text_col), F.lit(cfg.seed + 1)).alias("full_hash2"),
         F.array_sort(
@@ -104,6 +106,11 @@ def document_clusters(
         .select("a", "b")
     )
     edges = exact.select("a", "b").union(verified)
+    if cfg.enable_substring:
+        substr = suffix.substring_pairs(
+            conv, "full_text", "conv_id", cfg.substring_L, cfg.substring_k
+        )
+        edges = edges.union(substr.select("a", "b"))
     labels, _ = cc_mod.connected_components(edges)
     clusters = (
         conv.select("conv_id")

@@ -78,52 +78,54 @@ def candidate_pairs(
         family passes and stays one connected component via the root,
         at O(cap^2 + n) pairs per bucket instead of O(n^2).
 
-    Plan: ONE exchange on (band, key) serves everything — bucket size,
-    rank, and the rank-1 root are all window functions over that
-    partitioning (count / row_number / running first), the head-collect
-    groupBy reuses it, and the tail links read the root straight off their
-    own rows (no census join, no roots join).  At bench scale the previous
-    groupBy+join formulation pushed the 30M-row band table through the
-    shuffle three times; shuffle bytes through the one shared NVMe are what
-    bound measured scaling.
+    Plan: ONE exchange on (band, key) feeding ONE hash aggregation — each
+    bucket is collected whole (bounded rows: even the 36k-member
+    boilerplate bucket is ~600 KB) and the band-diversified ranking happens
+    INSIDE the collected array, so nothing ever sorts the 30M-row band
+    table globally.  Measured against the window-function formulation at
+    scale 1200: 29.9 s vs 40.6 s with bit-identical output (2,010,171
+    pairs, exceptAll = 0 both ways); the earlier census-groupBy + join
+    formulation cost 93 s.
     """
-    from pyspark.sql import Window
-
-    w_rank = Window.partitionBy("band", "key").orderBy(
-        F.xxhash64(F.col(id_col), F.col("band")), F.col(id_col)
-    )
-    w_all = Window.partitionBy("band", "key")
-    ranked = bands_df.select(
-        F.col(id_col),
-        "band",
-        "key",
-        F.count(F.lit(1)).over(w_all).alias("_n"),
-        F.row_number().over(w_rank).alias("_rn"),
-        # running first over the rank order == the bucket's rank-1 root,
-        # visible to every row of the bucket without a join
-        F.first(F.col(id_col)).over(w_rank).alias("_root"),
-    ).where(F.col("_n") >= 2)
-    heads = ranked.where(F.col("_rn") <= bucket_cap)
     buckets = (
-        heads.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        bands_df.groupBy("band", "key")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
-        .select("ids")
     )
+    # rank members by xxhash64(id, band) (independent order per band — the
+    # reference's maxcand early stop, ssi.h:387-444, made deterministic)
+    ranked = F.transform(
+        F.array_sort(
+            F.transform(
+                "ids",
+                lambda x: F.struct(
+                    F.xxhash64(x, F.col("band")).alias("r"), x.alias("i")
+                ),
+            )
+        ),
+        lambda s: s.getField("i"),
+    )
+    b2 = buckets.select("band", "key", ranked.alias("rids"))
+    heads = F.slice("rids", 1, bucket_cap)
     # clique expansion via two Generate operators (codegen)
     head_pairs = (
-        buckets.select(F.explode("ids").alias("a"), F.col("ids"))
-        .select("a", F.explode("ids").alias("b"))
+        b2.select(F.explode(heads).alias("a"), heads.alias("hh"))
+        .select("a", F.explode("hh").alias("b"))
         .where(F.col("a") < F.col("b"))
     )
     # one root-link per over-cap member per band would be 64x redundant;
     # `link_bands` bands (with band-diversified roots) give each member
     # that many independent verified chances to join the component.
-    tails = ranked.where(
-        (F.col("_rn") > bucket_cap) & (F.col("band") < link_bands)
-    ).select(
-        F.least(F.col(id_col), F.col("_root")).alias("a"),
-        F.greatest(F.col(id_col), F.col("_root")).alias("b"),
+    tails = (
+        b2.where((F.size("rids") > bucket_cap) & (F.col("band") < link_bands))
+        .select(
+            F.get("rids", 0).alias("_root"),
+            F.explode(F.slice("rids", bucket_cap + 1, 1 << 30)).alias("_m"),
+        )
+        .select(
+            F.least(F.col("_m"), F.col("_root")).alias("a"),
+            F.greatest(F.col("_m"), F.col("_root")).alias("b"),
+        )
     )
     pairs = head_pairs.unionByName(tails)
     return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_bands"))

@@ -152,35 +152,33 @@ def substring_candidate_pairs(
     disconnect them).  (pos_a, pos_b) always come from the same fp bucket,
     so every witness pair marks the same matching k-gram.
     """
-    from pyspark.sql import Window
-
-    # ONE exchange on fp: bucket size, rank, and the rank-1 root (id, pos)
-    # are window functions over the same partitioning — the previous
-    # census-groupBy + join + roots-join pushed the fingerprint table
-    # through the shuffle three times (this stage dominates pipeline wall
-    # time; shuffle bytes through the one shared NVMe bound scaling).
-    w_rank = Window.partitionBy("fp").orderBy(
-        F.xxhash64(F.col(id_col), F.col("fp")), F.col(id_col)
-    )
-    w_all = Window.partitionBy("fp")
-    ranked = fps.select(
-        F.col(id_col),
-        "fp",
-        "pos",
-        F.count(F.lit(1)).over(w_all).alias("_n"),
-        F.row_number().over(w_rank).alias("_rn"),
-        F.first(F.col(id_col)).over(w_rank).alias("_rid"),
-        F.first(F.col("pos")).over(w_rank).alias("_rpos"),
-    ).where(F.col("_n") >= 2)
-    heads = ranked.where(F.col("_rn") <= cap)
+    # ONE exchange on fp feeding ONE hash aggregation: each fingerprint
+    # bucket is collected whole and ranked INSIDE the array (same
+    # aggregate-over-window trade as lsh.candidate_pairs — nothing sorts
+    # the fingerprint table globally; this stage dominates pipeline wall
+    # time and shuffle bytes through the one shared NVMe bound scaling).
     buckets = (
-        heads.groupBy("fp")
-        .agg(F.array_sort(F.collect_list(F.struct(id_col, "pos"))).alias("items"))
+        fps.groupBy("fp")
+        .agg(F.collect_list(F.struct(id_col, "pos")).alias("items"))
         .where(F.size("items") >= 2)
     )
+    ranked = F.transform(
+        F.array_sort(
+            F.transform(
+                "items",
+                lambda s: F.struct(
+                    F.xxhash64(s.getField(id_col), F.col("fp")).alias("r"),
+                    s.alias("it"),
+                ),
+            )
+        ),
+        lambda s: s.getField("it"),
+    )
+    b2 = buckets.select("fp", ranked.alias("ritems"))
+    heads = F.array_sort(F.slice("ritems", 1, cap))
     head_pairs = (
-        buckets.select(F.explode("items").alias("ia"), F.col("items"))
-        .select("ia", F.explode("items").alias("ib"))
+        b2.select(F.explode(heads).alias("ia"), heads.alias("hh"))
+        .select("ia", F.explode("hh").alias("ib"))
         .where(F.col("ia").getField(id_col) < F.col("ib").getField(id_col))
         .select(
             F.col("ia").getField(id_col).alias("a"),
@@ -192,19 +190,33 @@ def substring_candidate_pairs(
     # subsample tail links ~1-in-8 fingerprints per member (template convs
     # share dozens of hot fingerprints; one verified root link connects a
     # member, a handful gives redundancy — all of them is pure waste)
+    root = F.get("ritems", 0)
     tails = (
-        ranked.where(
-            (F.col("_rn") > cap)
-            & (
-                (F.col("_rn") <= cap + 8)
-                | (F.pmod(F.xxhash64("fp", F.col(id_col)), F.lit(8)) == 0)
+        b2.where(F.size("ritems") > cap)
+        .select(
+            "fp",
+            root.getField(id_col).alias("_rid"),
+            root.getField("pos").alias("_rpos"),
+            F.posexplode(F.slice("ritems", cap + 1, 1 << 30)).alias("_i", "_m"),
+        )
+        .where(
+            (F.col("_i") < 8)
+            | (
+                F.pmod(F.xxhash64("fp", F.col("_m").getField(id_col)), F.lit(8))
+                == 0
             )
         )
         .select(
-            F.when(F.col(id_col) < F.col("_rid"), F.col(id_col)).otherwise(F.col("_rid")).alias("a"),
-            F.when(F.col(id_col) < F.col("_rid"), F.col("_rid")).otherwise(F.col(id_col)).alias("b"),
-            F.when(F.col(id_col) < F.col("_rid"), F.col("pos")).otherwise(F.col("_rpos")).alias("pos_a"),
-            F.when(F.col(id_col) < F.col("_rid"), F.col("_rpos")).otherwise(F.col("pos")).alias("pos_b"),
+            F.col("_m").getField(id_col).alias("_mid"),
+            F.col("_m").getField("pos").alias("_mpos"),
+            "_rid",
+            "_rpos",
+        )
+        .select(
+            F.when(F.col("_mid") < F.col("_rid"), F.col("_mid")).otherwise(F.col("_rid")).alias("a"),
+            F.when(F.col("_mid") < F.col("_rid"), F.col("_rid")).otherwise(F.col("_mid")).alias("b"),
+            F.when(F.col("_mid") < F.col("_rid"), F.col("_mpos")).otherwise(F.col("_rpos")).alias("pos_a"),
+            F.when(F.col("_mid") < F.col("_rid"), F.col("_rpos")).otherwise(F.col("_mpos")).alias("pos_b"),
         )
     )
     pairs = head_pairs.unionByName(tails)

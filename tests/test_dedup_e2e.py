@@ -97,3 +97,16 @@ def test_resume_idempotent(spark, corpus, tmp_path):
     assert r1 == r2
     assert all(e.get("resumed") for e in p2.ckpt.log)
     shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_changed_config_recomputes(spark, corpus, tmp_path):
+    """The config-hash gate: a checkpoint written under one DedupConfig
+    must NOT be resumed by a pipeline with different parameters."""
+    t, _, _ = synth.to_spark(spark, corpus)
+    ck = str(tmp_path / "ckpt2")
+    p1 = DedupPipeline(spark, DedupConfig(), checkpoint_dir=ck)
+    p1.run(t)["clusters"].count()
+    p2 = DedupPipeline(spark, DedupConfig(tau=0.6), checkpoint_dir=ck)
+    p2.run(t)["clusters"].count()
+    assert not any(e.get("resumed") for e in p2.ckpt.log)
+    shutil.rmtree(ck, ignore_errors=True)
