@@ -98,6 +98,63 @@ def overlap_candidates(
     )
 
 
+def overlap_count_join(
+    sets_df: DataFrame,
+    id_col: str,
+    set_col: str,
+    t: int,
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact overlap self-join via inverted-index pair COUNTING: explode each
+    row's DISTINCT elements, equi-join on (block, element) with a < b, and
+    count matched rows per pair — the count IS |A ∩ B| exactly, so no second
+    verify pass ever touches the full arrays.
+
+    When to prefer this over `overlap_join` (prefix filter): the prefix
+    filter pays off when t is a large fraction of the set sizes, so prefixes
+    shrink to a few elements.  With a small fixed t over large sets the
+    prefix keeps ~everything (|A| - t + 1 elements), the positional bound
+    1 + min(|A|-pa, |B|-pb) >= t holds for EVERY in-prefix match (pure dead
+    weight), and the window ranks + array-verify join dominate.  Here the
+    element join's output feeds the partial count aggregation inside the
+    same whole-stage-codegen pipeline, so the Σ df² matched rows are never
+    exchanged — the shuffle carries one partial count per (pair, task).
+
+    Scale: cost is Σ_e df_e² like any exact inverted-index join; hot
+    elements are split across tasks by AQE skew-join handling, and the plan
+    never degenerates to an all-pairs block join (pairs exist only where an
+    element is shared).  For similarity (not overlap) thresholds, where t
+    grows with set size, use `overlap_join`'s prefix pruning instead.
+
+    Returns (a, b, n_inter, n_a, n_b) with a < b, n_inter >= t.
+    """
+    bc = list(block_cols)
+    ex = sets_df.select(
+        F.col(id_col).alias("_id"), *bc, F.explode(set_col).alias("_e")
+    )
+    a = ex.alias("ea")
+    b = ex.alias("eb")
+    cond = (F.col("ea._e") == F.col("eb._e")) & (F.col("ea._id") < F.col("eb._id"))
+    for c in bc:
+        cond = cond & (F.col(f"ea.{c}") == F.col(f"eb.{c}"))
+    counted = (
+        a.join(b, cond)
+        .groupBy(F.col("ea._id").alias("a"), F.col("eb._id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .where(F.col("n_inter") >= t)
+    )
+    sizes = sets_df.select(F.col(id_col).alias("_sid"), F.size(set_col).alias("_sz"))
+    return (
+        counted.join(sizes, counted.a == sizes._sid)
+        .withColumnRenamed("_sz", "n_a")
+        .drop("_sid")
+        .join(sizes, F.col("b") == sizes._sid)
+        .withColumnRenamed("_sz", "n_b")
+        .drop("_sid")
+        .select("a", "b", "n_inter", "n_a", "n_b")
+    )
+
+
 def overlap_join(
     sets_df: DataFrame,
     id_col: str,
@@ -108,7 +165,9 @@ def overlap_join(
     """Exact overlap self-join: (a, b, n_inter, n_a, n_b) for every pair
     (a < b, same block) with n_inter = |A ∩ B| >= t.  Prefix-filtered
     candidates, then exact array_intersect verify — full arrays travel only
-    to candidate rows, never to the all-pairs space."""
+    to candidate rows, never to the all-pairs space.  See
+    `overlap_count_join` for the regime where the prefix filter cannot
+    prune (small fixed t over large sets)."""
     cands = overlap_candidates(sets_df, id_col, set_col, t, block_cols)
     sa = sets_df.select(
         F.col(id_col).alias("a"),

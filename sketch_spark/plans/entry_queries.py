@@ -693,31 +693,39 @@ FROM tk
 
 
 def q14_order_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    parts = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    """Inverted-index pair counting instead of the per-customer all-pairs
+    self-join: one row per distinct (order, part), equi-join on
+    (custkey, partkey), count matches per order pair — the count IS the
+    sorted-intersection size (isz.h:7-31 semantics) and pairs sharing zero
+    parts are never materialized.  Per-key fan-out is #orders of one
+    customer containing one part (tiny, skew-safe); the old plan built
+    O(orders_per_customer²) pair rows carrying full part arrays."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
     )
-    ow = o.select("o_orderkey", "o_custkey").join(
-        parts, o.o_orderkey == parts.l_orderkey
-    ).select("o_orderkey", "o_custkey", "parts")
-    a = ow.alias("a")
-    b = ow.alias("b")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    op = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_custkey", "o_orderkey", "l_partkey"
+    )
+    a = op.alias("a")
+    b = op.alias("b")
     return (
         a.join(
             b,
             (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.l_partkey") == F.col("b.l_partkey"))
             & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
         )
-        .select(
+        .groupBy(
             F.col("a.o_custkey").alias("custkey"),
             F.col("a.o_orderkey").alias("o1"),
             F.col("b.o_orderkey").alias("o2"),
-            F.size(F.array_intersect(F.col("a.parts"), F.col("b.parts")))
-            .cast("long")
-            .alias("n_shared_parts"),
         )
-        .where(F.col("n_shared_parts") >= 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_parts"))
     )
 
 
@@ -745,13 +753,15 @@ NG_MIN_INTER = 30
 
 
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix-filtered exact overlap join (operators/setsim.py) instead of
-    the all-pairs-within-source self-join: candidates come from an equi-join
-    on rare-first prefix grams (guaranteed superset of every pair with
-    n_inter >= t), then the exact intersect runs only on candidates.  Output
-    and oracle unchanged.  |A∪B| = n_a + n_b - n_inter exactly (distinct
-    sets), matching the oracle's list_distinct(concat)."""
-    from sketch_spark.operators.setsim import overlap_join
+    """Exact inverted-index count join (setsim.overlap_count_join) instead
+    of the all-pairs-within-source self-join: pairs exist only where a gram
+    is shared, and n_inter is counted inside the join's own codegen pipeline
+    (no array verify pass).  The prefix-filter variant (overlap_join) keeps
+    ~all of each 200-gram set at t=30, so its window ranks + verify join
+    were pure overhead here.  Output and oracle unchanged.
+    |A∪B| = n_a + n_b - n_inter exactly (distinct sets), matching the
+    oracle's list_distinct(concat)."""
+    from sketch_spark.operators.setsim import overlap_count_join
 
     g = _memo(
         ("grams", id(spark), sf_dir),
@@ -761,7 +771,7 @@ def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(T.char_ngrams_col(F.col("text"), NG)).alias("grams"),
         ),
     )
-    pairs = overlap_join(g, "doc_id", "grams", NG_MIN_INTER, block_cols=("source",))
+    pairs = overlap_count_join(g, "doc_id", "grams", NG_MIN_INTER, block_cols=("source",))
     return pairs.select(
         F.col("a").alias("a_doc"),
         F.col("b").alias("b_doc"),
@@ -974,13 +984,14 @@ CONT_MIN = 10
 
 
 def q20_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same prefix-filter plan as q15 (setsim.overlap_join); the asymmetric
-    (a != b) output is both orientations of each verified unordered pair."""
-    from sketch_spark.operators.setsim import overlap_join
+    """Same inverted-index count-join plan as q15 (setsim.overlap_count_join);
+    the asymmetric (a != b) output is both orientations of each unordered
+    pair."""
+    from sketch_spark.operators.setsim import overlap_count_join
 
     sh = _doc_shingle_hashes(spark, sf_dir)
     d = sh.select("doc_id", "source", F.array_distinct("shingles").alias("u"))
-    pairs = overlap_join(d, "doc_id", "u", CONT_MIN, block_cols=("source",))
+    pairs = overlap_count_join(d, "doc_id", "u", CONT_MIN, block_cols=("source",))
     fwd = pairs.select(
         F.col("a").alias("a_doc"),
         F.col("b").alias("b_doc"),
