@@ -57,21 +57,40 @@ def hmh_registers(
     hash_col: str = "h",
     p: int = 10,
     rsize: int = 16,
+    hash_bits: int = 64,
+    rem_col: str | None = None,
 ) -> DataFrame:
     """(group, h) -> (group, regs array<long> of 2^p HyperMinHash
-    registers).  h must be a well-mixed 64-bit hash; the mantissa half uses
-    an independent xxhash64 of it.  Empty buckets are 0."""
+    registers).  h must be a well-mixed hash of `hash_bits` bits; the
+    mantissa half uses an independent xxhash64 of it, or `rem_col` when
+    given (the engine-portable oracle path supplies a second mod-prime
+    hash there, so DuckDB can rebuild identical registers).  Empty
+    buckets are 0."""
     assert rsize in (8, 16, 32, 64)
     r = rsize - Q_LZC
     m = 1 << p
     rbm = (1 << r) - 1
     h1 = F.col(hash_col)
-    bucket = F.shiftrightunsigned(h1, 64 - p)
-    # x = ((h1 << 1) | 1) << (p - 1); lzc(x) + 1  (hmh.h:356-358).
-    # Shifts are bitwise (ANSI-safe); the |1 guard caps lzc at 65 - p.
-    x = F.shiftleft(F.shiftleft(h1, 1).bitwiseOR(F.lit(1)), p - 1)
-    lzc = F.lit(64) - _bit_length_col(x) + F.lit(1)
-    rem = F.xxhash64(h1, F.lit(HMH_SEED2)).bitwiseAND(F.lit(rbm))
+    if hash_bits == 64:
+        bucket = F.shiftrightunsigned(h1, 64 - p)
+        # x = ((h1 << 1) | 1) << (p - 1); lzc(x) + 1  (hmh.h:356-358).
+        # Shifts are bitwise (ANSI-safe); the |1 guard caps lzc at 65 - p.
+        x = F.shiftleft(F.shiftleft(h1, 1).bitwiseOR(F.lit(1)), p - 1)
+        lzc = F.lit(64) - _bit_length_col(x) + F.lit(1)
+    else:
+        # portable sub-64-bit hash (non-negative, < 2^hash_bits): bucket =
+        # top p bits, lzc = rho of the remaining vb bits (integer-exact,
+        # same arithmetic as hll.hll_registers; rem == 0 caps at vb + 1,
+        # matching the reference's |1 guard).
+        vb = hash_bits - p
+        bucket = F.shiftrightunsigned(h1, vb)
+        vbits = h1.bitwiseAND(F.lit((1 << vb) - 1))
+        lzc = F.lit(vb) - _bit_length_col(vbits) + F.lit(1)
+    rem = (
+        F.col(rem_col).bitwiseAND(F.lit(rbm))
+        if rem_col is not None
+        else F.xxhash64(h1, F.lit(HMH_SEED2)).bitwiseAND(F.lit(rbm))
+    )
     reg = F.shiftleft(lzc.cast("long"), r).bitwiseOR(rem)
     per_bucket = (
         elems.select(F.col(group_col).alias("_g"), bucket.alias("bucket"), reg.alias("reg"))

@@ -1613,6 +1613,127 @@ FROM pairs WHERE s >= 1
 
 
 # ---------------------------------------------------------------------------
+# q33 — PCSA register-exact build (pc.h:20-123: per-bucket OR of the
+#        one-hot lowest-zero-bit of h >>> p) through the engine's own
+#        pcsa_registers operator over the portable 60-bit hash.  Registers
+#        are pure bit arithmetic in both engines — hash-comparable.
+# ---------------------------------------------------------------------------
+
+PCSA_P = 6
+
+
+def q33_pcsa_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.hll import pcsa_registers
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h1 = (F.lit(HA1) * F.col("user_id") + F.lit(HB1)) % F.lit(HP30)
+    h2 = (F.lit(HA2) * F.col("user_id") + F.lit(HB2)) % F.lit(HP30)
+    h60 = h1 * F.lit(1 << 30) + h2
+    elems = e.select(F.col("event_type").alias("g"), h60.alias("h"))
+    regs = pcsa_registers(elems, "g", "h", p=PCSA_P)
+    return regs.select(
+        F.col("g").alias("event_type"),
+        F.posexplode("regs").alias("register_idx", "register_value"),
+    ).select(
+        "event_type",
+        F.col("register_idx").cast("long").alias("register_idx"),
+        F.col("register_value").cast("long").alias("register_value"),
+    )
+
+
+Q33_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+    (({HA1} * user_id + {HB1}) % {HP30}) * {1 << 30}
+      + (({HA2} * user_id + {HB2}) % {HP30}) AS h60
+  FROM events
+), bm AS (
+  SELECT event_type, h60 % {1 << PCSA_P} AS bucket,
+    ((~(h60 // {1 << PCSA_P})) & ((h60 // {1 << PCSA_P}) + 1)) AS bit
+  FROM h
+), agg AS (SELECT event_type, bucket, bit_or(bit) AS mp FROM bm GROUP BY 1, 2),
+et AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT et.event_type, CAST(i AS BIGINT) AS register_idx
+         FROM et, unnest(range(0, {1 << PCSA_P})) AS t(i))
+SELECT g.event_type, g.register_idx,
+  CAST(coalesce(agg.mp, 0) AS BIGINT) AS register_value
+FROM grid g LEFT JOIN agg
+  ON g.event_type = agg.event_type AND g.register_idx = agg.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# q34 — HyperMinHash register-exact build (hmh.h:355-366: register =
+#        (lzc << r) | mantissa) through hmh_registers' portable path:
+#        lzc = integer-exact rho of the 60-bit hash's low bits, mantissa =
+#        an independent mod-prime hash's low r bits.  The float estimators
+#        (Ertl-MLE cardinality, collision-corrected Jaccard) stay
+#        pytest-gated; registers are the deterministic surface.
+# ---------------------------------------------------------------------------
+
+HMH_Q34_P = 6
+HMH_Q34_RSIZE = 16  # r = 10 mantissa bits
+HA3, HB3 = 1_664_525, 1_013_904_223
+_VB34 = 60 - HMH_Q34_P
+_R34 = HMH_Q34_RSIZE - 6
+
+
+def q34_hmh_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.hyperminhash import hmh_registers
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h1 = (F.lit(HA1) * F.col("user_id") + F.lit(HB1)) % F.lit(HP30)
+    h2 = (F.lit(HA2) * F.col("user_id") + F.lit(HB2)) % F.lit(HP30)
+    h60 = h1 * F.lit(1 << 30) + h2
+    rem2 = (F.lit(HA3) * F.col("user_id") + F.lit(HB3)) % F.lit(HP30)
+    elems = e.select(
+        F.col("event_type").alias("g"), h60.alias("h"), rem2.alias("r2")
+    )
+    regs = hmh_registers(
+        elems, "g", "h",
+        p=HMH_Q34_P, rsize=HMH_Q34_RSIZE, hash_bits=60, rem_col="r2",
+    )
+    return regs.select(
+        F.col("g").alias("event_type"),
+        F.posexplode("regs").alias("register_idx", "register_value"),
+    ).select(
+        "event_type",
+        F.col("register_idx").cast("long").alias("register_idx"),
+        F.col("register_value").cast("long").alias("register_value"),
+    )
+
+
+Q34_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+    (({HA1} * user_id + {HB1}) % {HP30}) * {1 << 30}
+      + (({HA2} * user_id + {HB2}) % {HP30}) AS h60,
+    (({HA3} * user_id + {HB3}) % {HP30}) % {1 << _R34} AS rem2
+  FROM events
+), rr AS (
+  SELECT event_type, h60 // {1 << _VB34} AS bucket, h60 % {1 << _VB34} AS v,
+    rem2
+  FROM h
+), rh AS (
+  SELECT event_type, bucket,
+    (CASE WHEN v = 0 THEN {_VB34 + 1}
+          WHEN v >= {1 << 32}
+            THEN {_VB34 - 32} - CAST(floor(log2(v // {1 << 32})) AS BIGINT)
+          ELSE {_VB34} - CAST(floor(log2(v)) AS BIGINT) END)
+      * {1 << _R34} + rem2 AS reg
+  FROM rr
+), mx AS (SELECT event_type, bucket, max(reg) AS mr FROM rh GROUP BY 1, 2),
+et AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT et.event_type, CAST(i AS BIGINT) AS register_idx
+         FROM et, unnest(range(0, {1 << HMH_Q34_P})) AS t(i))
+SELECT g.event_type, g.register_idx,
+  CAST(coalesce(mx.mr, 0) AS BIGINT) AS register_value
+FROM grid g LEFT JOIN mx
+  ON g.event_type = mx.event_type AND g.register_idx = mx.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1649,6 +1770,8 @@ QUERIES = {
     "q30_srp_signs": q30_srp_signs,
     "q31_join_size_cs": q31_join_size_cs,
     "q32_bottomk_union_walk": q32_bottomk_union_walk,
+    "q33_pcsa_registers": q33_pcsa_registers,
+    "q34_hmh_registers": q34_hmh_registers,
 }
 
 ORACLES = {
@@ -1684,4 +1807,6 @@ ORACLES = {
     "q30_srp_signs": Q30_SQL,
     "q31_join_size_cs": Q31_SQL,
     "q32_bottomk_union_walk": Q32_SQL,
+    "q33_pcsa_registers": Q33_SQL,
+    "q34_hmh_registers": Q34_SQL,
 }
