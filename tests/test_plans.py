@@ -106,3 +106,31 @@ def test_exact_verify_uses_native_array_intersect(spark):
         F.size(F.array_intersect("x.shingles", "y.shingles")).alias("i")
     )
     assert "array_intersect" in _plan(j)
+
+
+def test_overlap_count_join_counts_before_exchange(spark):
+    """The inverted-index overlap join must fold matched rows into partial
+    counts INSIDE the join's pipeline — the Σ df² matched rows may never
+    cross an exchange (q15/q20's 100-TB contract)."""
+    from sketch_spark.operators.setsim import overlap_count_join
+
+    df = spark.createDataFrame(
+        [(1, "x", [1, 2, 3]), (2, "x", [2, 3, 4]), (3, "y", [1, 2, 3])],
+        "id long, blk string, es array<long>",
+    )
+    plan = _plan(overlap_count_join(df, "id", "es", 2, ("blk",)))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    # the pair-count aggregation's exchange reads partial counts, not raw
+    # matched rows: partial agg appears below the (a, b) exchange
+    pc = plan.index("partial_count")
+    ex = plan.index("Exchange hashpartitioning(_id")
+    assert ex < pc  # final-agg exchange is printed above the partial agg
+
+
+def test_q14_has_no_allpairs_block_join(spark):
+    from sketch_spark.plans import entry_queries as EQ
+
+    plan = _plan(EQ.QUERIES["q14_order_part_overlap"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
