@@ -330,3 +330,54 @@ def shrivastava_signature_np(
     return vecs.select(id_col, indices_col).mapInPandas(
         gen, schema=f"{id_col} {id_type}, {out_col} array<long>"
     )
+
+
+def embedding_dup_pairs(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.9,
+    n_bits: int = 64,
+    dim: int = 64,
+    band_bits: int = 8,
+    seed: int = 42,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over ONE table (the
+    training-pipeline dedup operator; the ANN tiers above answer
+    query->corpus top-k instead).
+
+    SRP signatures -> band explode -> lsh.candidate_pairs (the engine's
+    capped-bucket + root-link pair generator, so a bucket holding
+    near-duplicate embedding mass emits O(cap^2 + n) pairs, never n^2) ->
+    exact cosine verify >= tau.  Precision is exact (every emitted pair is
+    re-scored); recall is the SRP collision law: a pair at angle theta
+    collides in >= 1 of n_bits/band_bits bands with probability
+    1 - (1 - (1 - theta/pi)^band_bits)^n_bands, tuned by band_bits.
+    Returns (a, b, cos) with a < b, cos >= tau.
+    """
+    from sketch_spark.operators.lsh import candidate_pairs
+
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    sig = srp_signatures(vecs, id_col, vec_col, n_bits, dim, seed)
+    band_exprs = F.array(
+        *[
+            F.shiftrightunsigned(F.col("srp_sig"), i * band_bits).bitwiseAND(
+                F.lit(mask)
+            )
+            for i in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        F.col(id_col), F.posexplode(band_exprs).alias("band", "key")
+    )
+    cands = candidate_pairs(bands, id_col, bucket_cap)
+    va = vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", cosine_col(F.col("_va"), F.col("_vb")).alias("cos"))
+        .where(F.col("cos") >= tau)
+    )

@@ -364,3 +364,44 @@ def test_pcsa_estimate_and_or_merge(spark):
         .e
     )
     assert abs(est - n) / n < 3 * 0.78 / (1 << p) ** 0.5 + 0.05, est
+
+
+def test_embedding_dup_pairs_planted(spark):
+    """embedding_dup_pairs must emit exactly the brute-force cosine pairs
+    >= tau on a planted corpus (exact precision by construction; recall via
+    SRP banding — deterministic under the fixed seed)."""
+    import numpy as np
+
+    from sketch_spark.operators.ann import embedding_dup_pairs
+
+    rng = np.random.default_rng(7)
+    dim, tau = 16, 0.95
+    base = rng.standard_normal((8, dim))
+    rows = []
+    for g in range(8):  # 3 near-identical copies per group
+        for c in range(3):
+            v = base[g] + 0.01 * rng.standard_normal(dim)
+            rows.append((g * 3 + c, (v / np.linalg.norm(v)).tolist()))
+    for i in range(16):  # unrelated noise
+        v = rng.standard_normal(dim)
+        rows.append((24 + i, (v / np.linalg.norm(v)).tolist()))
+    mat = np.stack([np.asarray(v) for _, v in rows])
+    cos = mat @ mat.T
+    want = {
+        (i, j): cos[i, j]
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if cos[i, j] >= tau
+    }
+    assert len(want) == 8 * 3  # sanity: the 8 planted triangles only
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.a, r.b): r.cos
+        for r in embedding_dup_pairs(
+            df, tau=tau, dim=dim, n_bits=32, band_bits=8, bucket_cap=16
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
