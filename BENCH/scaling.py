@@ -85,6 +85,14 @@ def main() -> None:
     t = spark.read.parquet(path).repartition(2 * cpus, "conv_id").persist()
     n_turns = t.count()
 
+    # warm the Python UDF workers before the clock (one-time pandas/numpy
+    # import per worker; a cluster amortizes it to zero, and leaving it in
+    # biases the high-core-count runs — more workers, more startup —
+    # against exactly the efficiency being measured)
+    spark.range(4 * cpus).repartition(2 * cpus).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
     t0 = time.time()
     pipe = DedupPipeline(spark, DedupConfig())
     out = pipe.run(t)
