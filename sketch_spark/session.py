@@ -19,6 +19,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str | None:
+    """Shuffle/spill directory.  On a real cluster each executor writes
+    shuffle files to its OWN local disks (the cluster manager sets this);
+    in this one-box sandbox every "executor" thread shares the single
+    NVMe, which showed up as the dominant scaling bottleneck (the cands
+    stage scaled 1.68x at 4x cores while pure-CPU stages scaled 2.4-3.6x,
+    BENCH/BASELINE.md §3).  tmpfs models per-executor local disks; the
+    corpus input still reads from the real filesystem.  Override with
+    SPARK_GRAFT_LOCAL_DIR, or set it to "" to keep Spark's default."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env is not None:
+        return env or None
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "sketch-spark-local")
+    return None
+
+
 def get_spark(
     app_name: str = "sketch_spark",
     master: str | None = None,
@@ -26,6 +44,8 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # master="inherit" leaves the master to the launcher (spark-submit
+    # --master ...); anything else (or None) is set explicitly.
     master = master or f"local[{cpus}]"
     # shuffle partitions default: 2x cores locally; a real cluster would use
     # ~2-3x total executor cores (AQE coalesces down afterwards).
@@ -33,10 +53,11 @@ def get_spark(
         n = int(cpus) if str(cpus).isdigit() else 32
         shuffle_partitions = max(2 * n, 8)
 
+    b = SparkSession.builder.appName(app_name)
+    if master != "inherit":
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -48,6 +69,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    ld = _local_dir()
+    if ld:
+        b = b.config("spark.local.dir", ld)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
