@@ -20,6 +20,57 @@ def test_rolling_hash_matches_naive():
     assert h[0] == h[8]
 
 
+def test_window_argmin_matches_naive():
+    """O(n) block-decomposition sliding argmin == naive leftmost argmin,
+    including heavy ties (value range 0..4 forces repeated minima) and
+    window/block boundary interactions."""
+    rng = np.random.default_rng(3)
+    for _ in range(300):
+        n = int(rng.integers(1, 1500))
+        w = int(rng.integers(1, 200))
+        if n - w + 1 <= 0:
+            continue
+        v = rng.integers(0, 5, size=n).astype(np.uint64)
+        got = suffix.window_argmin(v, w)
+        win = np.lib.stride_tricks.sliding_window_view(v, w)
+        want = np.argmin(win, axis=1) + np.arange(win.shape[0])
+        assert np.array_equal(got, want), (n, w)
+
+
+def test_winnow_batch_equals_per_text():
+    """The batched (concatenated) winnowing pass selects the same
+    (pos, hash) fingerprints as an isolated per-text pass."""
+    rng = np.random.default_rng(11)
+    texts = [
+        "".join(chr(97 + int(rng.integers(0, 26))) for _ in range(int(rng.integers(10, 900))))
+        for _ in range(20)
+    ]
+    k, L = 10, 40
+    w = L - k + 1
+    codes = [
+        np.frombuffer(t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
+        for t in texts
+    ]
+    lens = np.fromiter((c.size for c in codes), dtype=np.int64)
+    allh = suffix._kgram_hashes_codes(np.concatenate(codes), k)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    wam = suffix.window_argmin(allh, w)
+    for t, st, ln in zip(texts, starts, lens):
+        n = int(ln) - k + 1
+        if n <= 0:
+            continue
+        h = suffix._kgram_hashes(t, k)
+        assert np.array_equal(h, allh[st : st + n])
+        if n <= w:
+            sel_batch = np.array([int(np.argmin(allh[st : st + n]))])
+            sel_solo = np.array([int(np.argmin(h))])
+        else:
+            sel_batch = np.unique(wam[st : st + n - w + 1]) - st
+            win = np.lib.stride_tricks.sliding_window_view(h, w)
+            sel_solo = np.unique(np.argmin(win, axis=1) + np.arange(win.shape[0]))
+        assert np.array_equal(sel_batch, sel_solo)
+
+
 def test_substring_pairs_detects_long_span(spark):
     span = "S" + " shared token stream " * 15  # ~300 chars
     rng = np.random.default_rng(5)
