@@ -45,7 +45,29 @@ def _inv_u64(b: np.uint64) -> np.uint64:
 _BINV = _inv_u64(_B)
 
 
-def _kgram_hashes_codes(a: np.ndarray, k: int) -> np.ndarray:
+def _kgram_hashes_codes(a: np.ndarray, k: int, chunk: int = 1 << 22) -> np.ndarray:
+    """Rolling k-gram hashes, computed in overlapping chunks so peak
+    temporary footprint stays ~100 MB regardless of input size.  The hash
+    of a k-gram depends only on its CONTENT (see _kgram_hashes_seg), so a
+    chunk overlapping the next by k-1 codes yields identical values —
+    important on hosts where faulting fresh pages is far slower than
+    reusing warm ones (measured ~200 MB/s vs ~5 GB/s here; allocator
+    reuse across chunks sidesteps it)."""
+    n = a.size - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    if a.size <= chunk + k - 1:
+        return _kgram_hashes_seg(a, k)
+    parts = []
+    s = 0
+    while s < n:
+        e = min(a.size, s + chunk + k - 1)
+        parts.append(_kgram_hashes_seg(a[s:e], k))
+        s += chunk
+    return np.concatenate(parts)
+
+
+def _kgram_hashes_seg(a: np.ndarray, k: int) -> np.ndarray:
     """Rolling polynomial hashes (mod 2^64) of all k-grams of a codepoint
     array, fully vectorized:  H[i] = B^(k-1) * B^i * (P[i+k] - P[i])  where
     P[t] = sum_{j<t} a[j] * Binv^j  (B odd => invertible mod 2^64).
@@ -84,21 +106,47 @@ def _kgram_hashes(s: str, k: int) -> np.ndarray:
     return _kgram_hashes_codes(codes, k)
 
 
-def window_argmin(v: np.ndarray, w: int) -> np.ndarray:
-    """Leftmost argmin of every w-window of v in O(n) — two-pass block
-    decomposition (the sliding-window-minimum prefix/suffix trick): split v
-    into w-sized blocks, compute per-block prefix and suffix argmins with
-    vectorized scans, and stitch window i from the suffix of its left block
-    and the prefix of its right block.  Bit-identical to
-    np.argmin(sliding_window_view(v, w), axis=1) + arange (property-tested
-    with heavy ties) but ~80x faster at w=151: the naive form is O(n*w)
-    comparisons and dominated the whole dedup pipeline's CPU.
+def window_argmin(v: np.ndarray, w: int, slab_blocks: int = 2048) -> np.ndarray:
+    """Leftmost argmin of every w-window of v in O(n), computed in slabs.
+
+    Each slab covers slab_blocks w-sized blocks plus a w-1 overlap: a
+    window's argmin depends only on the w values it covers, so running the
+    block kernel on the overlapping segment and keeping the first
+    slab_blocks*w window starts reproduces the global answer exactly,
+    while temporaries stay ~30 MB and get REUSED across slabs (fresh-page
+    population on this host runs ~20x slower than warm reuse; one big
+    pass allocated several GB of one-shot temporaries and cost 60-90 s
+    per first call in every fresh Python worker).
 
     Returns absolute indices into v; output size n - w + 1."""
     n = v.size
     nw = n - w + 1
     if nw <= 0:
         return np.empty(0, dtype=np.int64)
+    S = slab_blocks * w
+    if n <= S + w - 1:
+        return _window_argmin_seg(v, w)
+    outs = []
+    s = 0
+    while s < nw:
+        e = min(n, s + S + w - 1)
+        seg = _window_argmin_seg(v[s:e], w)
+        take = min(S, nw - s)
+        outs.append(seg[:take] + s)
+        s += S
+    return np.concatenate(outs)
+
+
+def _window_argmin_seg(v: np.ndarray, w: int) -> np.ndarray:
+    """One-segment two-pass block decomposition (the sliding-window-minimum
+    prefix/suffix trick): split v into w-sized blocks, compute per-block
+    prefix and suffix argmins with vectorized scans, and stitch window i
+    from the suffix of its left block and the prefix of its right block.
+    Bit-identical to np.argmin(sliding_window_view(v, w), axis=1) + arange
+    (property-tested with heavy ties) but ~80x faster at w=151: the naive
+    form is O(n*w) comparisons and dominated the whole pipeline's CPU."""
+    n = v.size
+    nw = n - w + 1
     nblocks = -(-n // w)
     pad = nblocks * w - n
     INF = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -289,6 +337,75 @@ def substring_candidate_pairs(
     )
 
 
+def _witness_spans(
+    flat: list[tuple[int, str, str, int, int]], chunk: int = 4096
+) -> np.ndarray:
+    """Vectorized maximal-common-span length around each witness match.
+
+    flat rows are (pair_idx, seg_a, seg_b, pos_a, pos_b); returns span[i] =
+    l + r where l/r are the longest runs of equal characters extending
+    left/right from the witness positions — exactly the per-character
+    while-loops they replace, computed as chunked numpy gathers:
+    segments are padded into (chunk, W) codepoint matrices with DISTINCT
+    pad sentinels per side (padding never matches), the right run is the
+    index of the first mismatch in the aligned gather A[pa+t] == B[pb+t],
+    the left run likewise with reversed offsets, and explicit bounds masks
+    reproduce the loops' boundary conditions."""
+    n = len(flat)
+    spans = np.zeros(n, dtype=np.int64)
+    PAD_A = np.uint32(0xFFFFFFFF)
+    PAD_B = np.uint32(0xFFFFFFFE)
+    for lo in range(0, n, chunk):
+        part = flat[lo : lo + chunk]
+        m = len(part)
+        la = np.fromiter((len(r[1]) for r in part), dtype=np.int64, count=m)
+        lb = np.fromiter((len(r[2]) for r in part), dtype=np.int64, count=m)
+        W = int(max(la.max(), lb.max(), 1))
+        A = np.full((m, W), PAD_A, dtype=np.uint32)
+        B = np.full((m, W), PAD_B, dtype=np.uint32)
+        for i, (_, sa, sb, _, _) in enumerate(part):
+            if sa:
+                A[i, : len(sa)] = np.frombuffer(
+                    sa.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+                )
+            if sb:
+                B[i, : len(sb)] = np.frombuffer(
+                    sb.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+                )
+        pa = np.fromiter((r[3] for r in part), dtype=np.int64, count=m)[:, None]
+        pb = np.fromiter((r[4] for r in part), dtype=np.int64, count=m)[:, None]
+        t = np.arange(W, dtype=np.int64)[None, :]
+        ridx = np.arange(m)[:, None]
+        # right extension: first t with A[pa+t] != B[pb+t] (or out of range)
+        ia = np.minimum(pa + t, W - 1)
+        ib = np.minimum(pb + t, W - 1)
+        right_eq = (
+            (A[ridx, ia] == B[ridx, ib])
+            & (pa + t < la[:, None])
+            & (pb + t < lb[:, None])
+        )
+        r_run = np.argmax(~right_eq, axis=1)
+        # all-True row (both segments match through every in-bounds t, e.g.
+        # identical full-width segments at pos 0): argmax(all-False) is 0,
+        # but the loop semantics give the full in-bounds run
+        full = right_eq.all(axis=1)
+        if full.any():
+            r_run = np.where(
+                full, np.minimum(la - pa.ravel(), lb - pb.ravel()), r_run
+            )
+        # left side always has a False within range (the bound fails at
+        # t = pa <= W-1), so argmax is safe there
+        # left extension: first t with A[pa-1-t] != B[pb-1-t] (or t >= pa/pb)
+        ja = np.maximum(pa - 1 - t, 0)
+        jb = np.maximum(pb - 1 - t, 0)
+        left_eq = (
+            (A[ridx, ja] == B[ridx, jb]) & (pa - 1 - t >= 0) & (pb - 1 - t >= 0)
+        )
+        l_run = np.argmax(~left_eq, axis=1)
+        spans[lo : lo + m] = l_run + r_run
+    return spans
+
+
 def verify_substring_pairs(
     cands: DataFrame,
     conv: DataFrame,
@@ -338,25 +455,33 @@ def verify_substring_pairs(
     def span_len(
         sega_s: pd.Series, segb_s: pd.Series, rela_s: pd.Series, relb_s: pd.Series
     ) -> pd.Series:
-        out = np.zeros(len(sega_s), dtype=np.int32)
+        # Flatten (pair, witness) -> rows, then extend every witness match
+        # in ONE vectorized pass per chunk: per-character while-loops in
+        # interpreted Python (~50-100 ns/char * up to 2L chars * millions
+        # of witnesses) dominated the whole pipeline's CPU on large runs.
+        flat: list[tuple[int, str, str, int, int]] = []
         for i, (segs_a, segs_b, rels_a, rels_b) in enumerate(
             zip(sega_s, segb_s, rela_s, relb_s)
         ):
             if segs_a is None or segs_b is None:
                 continue
-            best = 0
             for sa, sb, pa, pb in zip(segs_a, segs_b, rels_a, rels_b):
-                pa, pb = int(pa), int(pb)
-                na, nb = len(sa), len(sb)
-                l = 0
-                while pa - l - 1 >= 0 and pb - l - 1 >= 0 and sa[pa - l - 1] == sb[pb - l - 1]:
-                    l += 1
-                r = 0
-                while pa + r < na and pb + r < nb and sa[pa + r] == sb[pb + r]:
-                    r += 1
-                best = max(best, l + r)
-                if best >= L:
-                    break
+                flat.append((i, sa, sb, int(pa), int(pb)))
+        out = np.zeros(len(sega_s), dtype=np.int32)
+        if not flat:
+            return pd.Series(out)
+        spans = _witness_spans(flat)
+        # replicate the original running-max-with-early-break per pair:
+        # witnesses are visited in order and the loop stops at the first
+        # running best >= L (identical output values, not just >= L set)
+        row = 0
+        while row < len(flat):
+            i = flat[row][0]
+            best = 0
+            while row < len(flat) and flat[row][0] == i:
+                if best < L:
+                    best = max(best, int(spans[row]))
+                row += 1
             out[i] = best
         return pd.Series(out)
 

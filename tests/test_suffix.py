@@ -35,6 +35,18 @@ def test_window_argmin_matches_naive():
         win = np.lib.stride_tricks.sliding_window_view(v, w)
         want = np.argmin(win, axis=1) + np.arange(win.shape[0])
         assert np.array_equal(got, want), (n, w)
+        # slab path: tiny slabs force many overlapping segments
+        got_slab = suffix.window_argmin(v, w, slab_blocks=2)
+        assert np.array_equal(got_slab, want), (n, w, "slab")
+
+
+def test_kgram_hashes_chunked_equals_one_pass():
+    rng = np.random.default_rng(13)
+    a = rng.integers(1, 2**20, size=50_000).astype(np.uint64)
+    for k in (3, 50):
+        one = suffix._kgram_hashes_seg(a, k)
+        chunked = suffix._kgram_hashes_codes(a, k, chunk=777)
+        assert np.array_equal(one, chunked)
 
 
 def test_winnow_batch_equals_per_text():
@@ -69,6 +81,46 @@ def test_winnow_batch_equals_per_text():
             win = np.lib.stride_tricks.sliding_window_view(h, w)
             sel_solo = np.unique(np.argmin(win, axis=1) + np.arange(win.shape[0]))
         assert np.array_equal(sel_batch, sel_solo)
+
+
+def test_witness_spans_matches_char_loops():
+    """Vectorized span extension == the per-character while-loops it
+    replaced, across random segments with planted shared runs, boundary
+    positions (pos 0 / end), identical full segments, and non-ASCII."""
+
+    def naive(sa, sb, pa, pb):
+        na, nb = len(sa), len(sb)
+        l = 0
+        while pa - l - 1 >= 0 and pb - l - 1 >= 0 and sa[pa - l - 1] == sb[pb - l - 1]:
+            l += 1
+        r = 0
+        while pa + r < na and pb + r < nb and sa[pa + r] == sb[pb + r]:
+            r += 1
+        return l + r
+
+    rng = np.random.default_rng(7)
+    alphabet = "abωc"
+    flat = []
+    for _ in range(500):
+        na = int(rng.integers(1, 120))
+        nb = int(rng.integers(1, 120))
+        sa = "".join(rng.choice(list(alphabet), size=na))
+        sb = "".join(rng.choice(list(alphabet), size=nb))
+        pa = int(rng.integers(0, na))
+        pb = int(rng.integers(0, nb))
+        # half the time plant a shared run around (pa, pb)
+        if rng.random() < 0.5:
+            run = "".join(rng.choice(list("xyζ"), size=int(rng.integers(1, 40))))
+            off = int(rng.integers(0, len(run)))
+            sa = sa[:pa] + run[off:] + sa[pa:]
+            sb = sb[:pb] + run[off:] + sb[pb:]
+        flat.append((len(flat), sa, sb, pa, pb))
+    # identical-full-segment edge (argmax all-True row)
+    flat.append((len(flat), "same" * 20, "same" * 20, 0, 0))
+    flat.append((len(flat), "same" * 20, "same" * 20, 37, 37))
+    got = suffix._witness_spans(flat, chunk=64)
+    for (i, sa, sb, pa, pb), g in zip(flat, got):
+        assert int(g) == naive(sa, sb, pa, pb), (i, sa, sb, pa, pb)
 
 
 def test_substring_pairs_detects_long_span(spark):
