@@ -13,6 +13,6 @@ OUT="BENCH/scaling_results.jsonl"
 : > "$OUT"
 for CPUS in 2 8 32; do
   echo "== local[$CPUS] scale $SCALE ==" >&2
-  SCALING_RECALL="$([ "$CPUS" = 8 ] && echo 1 || echo 0)" \
+  SCALING_REPEAT=1 SCALING_RECALL="$([ "$CPUS" = 8 ] && echo 1 || echo 0)" \
     python3 BENCH/scaling.py "$CPUS" "$SCALE" 2>/dev/null | tee -a "$OUT"
 done

@@ -93,11 +93,30 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
-    t0 = time.time()
-    pipe = DedupPipeline(spark, DedupConfig())
-    out = pipe.run(t)
-    out["clusters"].count()
-    wall = time.time() - t0
+    # SCALING_REPEAT=1: run the identical pipeline twice in the same JVM
+    # and report both walls.  This host lazily populates fresh pages at
+    # ~200 MB/s (vs ~5 GB/s warm reuse), so a cold JVM/Python-worker pair
+    # pays an erratic, parallelism-independent memory-population tax that
+    # a long-running cluster executor never sees; the warmed second run is
+    # the number that models one.  Counters are asserted identical.
+    repeats = 2 if os.environ.get("SCALING_REPEAT", "0") == "1" else 1
+    walls, stage_logs = [], []
+    pipe = None
+    for r in range(repeats):
+        if r:
+            spark.catalog.clearCache()
+            t = spark.read.parquet(path).repartition(2 * cpus, "conv_id").persist()
+            t.count()
+        t0 = time.time()
+        prev_counters = pipe.counters if pipe else None
+        pipe = DedupPipeline(spark, DedupConfig())
+        out = pipe.run(t)
+        out["clusters"].count()
+        walls.append(round(time.time() - t0, 2))
+        stage_logs.append({e["stage"]: e.get("seconds") for e in pipe.ckpt.log})
+        if prev_counters is not None:
+            assert pipe.counters == prev_counters, (pipe.counters, prev_counters)
+    wall = walls[-1]
     rec = (
         measure_recall(spark, out["clusters"], scale)
         if os.environ.get("SCALING_RECALL", "0") == "1"
@@ -109,9 +128,11 @@ def main() -> None:
                 "cpus": cpus,
                 "scale": scale,
                 "turns": n_turns,
-                "wall_sec": round(wall, 2),
+                "wall_sec": wall,
                 "turns_per_sec": round(n_turns / wall, 1),
-                "stages": {e["stage"]: e.get("seconds") for e in pipe.ckpt.log},
+                "stages": stage_logs[-1],
+                "cold_walls": walls[:-1],
+                "cold_stages": stage_logs[:-1],
                 "counters": pipe.counters,
                 **rec,
             }

