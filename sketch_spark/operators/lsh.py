@@ -87,30 +87,36 @@ def candidate_pairs(
     pairs, exceptAll = 0 both ways); the earlier census-groupBy + join
     formulation cost 93 s.
     """
+    # rank members by xxhash64(id, band) (independent order per band — the
+    # reference's maxcand early stop, ssi.h:387-444, made deterministic).
+    # The (rank, id) struct is built INSIDE the aggregation expression —
+    # per input row, whole-stage codegen — and array_sort on the struct
+    # array is a native sort.  The earlier form built the structs with an
+    # interpreted transform() over the collected array, which made the
+    # few 10^5-member hot buckets (boilerplate templates) single-task
+    # stragglers: 3 interpreted passes x bucket size each.
     buckets = (
         bands_df.groupBy("band", "key")
-        .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .where(F.size("ids") >= 2)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.xxhash64(F.col(id_col), F.col("band")).alias("r"),
+                        F.col(id_col).alias("i"),
+                    )
+                )
+            ).alias("rids")
+        )
+        .where(F.size("rids") >= 2)
     )
-    # rank members by xxhash64(id, band) (independent order per band — the
-    # reference's maxcand early stop, ssi.h:387-444, made deterministic)
-    ranked = F.transform(
-        F.array_sort(
-            F.transform(
-                "ids",
-                lambda x: F.struct(
-                    F.xxhash64(x, F.col("band")).alias("r"), x.alias("i")
-                ),
-            )
-        ),
-        lambda s: s.getField("i"),
-    )
-    b2 = buckets.select("band", "key", ranked.alias("rids"))
+    b2 = buckets.select("band", "key", "rids")
     heads = F.slice("rids", 1, bucket_cap)
-    # clique expansion via two Generate operators (codegen)
+    # clique expansion via two Generate operators (codegen); ids are
+    # extracted AFTER the explode, so no per-array lambda ever runs
     head_pairs = (
-        b2.select(F.explode(heads).alias("a"), heads.alias("hh"))
-        .select("a", F.explode("hh").alias("b"))
+        b2.select(F.explode(heads).alias("sa"), heads.alias("hh"))
+        .select(F.col("sa.i").alias("a"), F.explode("hh").alias("sb"))
+        .select("a", F.col("sb.i").alias("b"))
         .where(F.col("a") < F.col("b"))
     )
     # one root-link per over-cap member per band would be 64x redundant;
@@ -119,12 +125,12 @@ def candidate_pairs(
     tails = (
         b2.where((F.size("rids") > bucket_cap) & (F.col("band") < link_bands))
         .select(
-            F.get("rids", 0).alias("_root"),
-            F.explode(F.slice("rids", bucket_cap + 1, 1 << 30)).alias("_m"),
+            F.get("rids", 0).getField("i").alias("_root"),
+            F.explode(F.slice("rids", bucket_cap + 1, 1 << 30)).alias("_ms"),
         )
         .select(
-            F.least(F.col("_m"), F.col("_root")).alias("a"),
-            F.greatest(F.col("_m"), F.col("_root")).alias("b"),
+            F.least(F.col("_ms.i"), F.col("_root")).alias("a"),
+            F.greatest(F.col("_ms.i"), F.col("_root")).alias("b"),
         )
     )
     pairs = head_pairs.unionByName(tails)

@@ -263,34 +263,42 @@ def substring_candidate_pairs(
     # aggregate-over-window trade as lsh.candidate_pairs — nothing sorts
     # the fingerprint table globally; this stage dominates pipeline wall
     # time and shuffle bytes through the one shared NVMe bound scaling).
+    # (rank, id, pos) structs are built INSIDE the aggregation (per input
+    # row, codegen) and sorted natively — template conversations share
+    # every fingerprint, so hot fp buckets reach 10^5 members and any
+    # interpreted per-array lambda over them becomes a single-task
+    # straggler (same fix as lsh.candidate_pairs; the sort comparator
+    # (r, id, pos) is unchanged, so selection is bit-identical).
     buckets = (
         fps.groupBy("fp")
-        .agg(F.collect_list(F.struct(id_col, "pos")).alias("items"))
-        .where(F.size("items") >= 2)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.xxhash64(F.col(id_col), F.col("fp")).alias("r"),
+                        F.col(id_col).alias("i"),
+                        F.col("pos").alias("pos"),
+                    )
+                )
+            ).alias("ritems")
+        )
+        .where(F.size("ritems") >= 2)
     )
-    ranked = F.transform(
-        F.array_sort(
-            F.transform(
-                "items",
-                lambda s: F.struct(
-                    F.xxhash64(s.getField(id_col), F.col("fp")).alias("r"),
-                    s.alias("it"),
-                ),
-            )
-        ),
-        lambda s: s.getField("it"),
-    )
-    b2 = buckets.select("fp", ranked.alias("ritems"))
-    heads = F.array_sort(F.slice("ritems", 1, cap))
+    b2 = buckets.select("fp", "ritems")
+    heads = F.slice("ritems", 1, cap)
     head_pairs = (
         b2.select(F.explode(heads).alias("ia"), heads.alias("hh"))
-        .select("ia", F.explode("hh").alias("ib"))
-        .where(F.col("ia").getField(id_col) < F.col("ib").getField(id_col))
         .select(
-            F.col("ia").getField(id_col).alias("a"),
-            F.col("ib").getField(id_col).alias("b"),
-            F.col("ia").getField("pos").alias("pos_a"),
-            F.col("ib").getField("pos").alias("pos_b"),
+            F.col("ia.i").alias("a"),
+            F.col("ia.pos").alias("pos_a"),
+            F.explode("hh").alias("ib"),
+        )
+        .where(F.col("a") < F.col("ib.i"))
+        .select(
+            "a",
+            F.col("ib.i").alias("b"),
+            "pos_a",
+            F.col("ib.pos").alias("pos_b"),
         )
     )
     # subsample tail links ~1-in-8 fingerprints per member (template convs
@@ -301,19 +309,19 @@ def substring_candidate_pairs(
         b2.where(F.size("ritems") > cap)
         .select(
             "fp",
-            root.getField(id_col).alias("_rid"),
+            root.getField("i").alias("_rid"),
             root.getField("pos").alias("_rpos"),
             F.posexplode(F.slice("ritems", cap + 1, 1 << 30)).alias("_i", "_m"),
         )
         .where(
             (F.col("_i") < 8)
             | (
-                F.pmod(F.xxhash64("fp", F.col("_m").getField(id_col)), F.lit(8))
+                F.pmod(F.xxhash64("fp", F.col("_m").getField("i")), F.lit(8))
                 == 0
             )
         )
         .select(
-            F.col("_m").getField(id_col).alias("_mid"),
+            F.col("_m").getField("i").alias("_mid"),
             F.col("_m").getField("pos").alias("_mpos"),
             "_rid",
             "_rpos",
