@@ -104,6 +104,7 @@ def main() -> None:
     pipe = None
     for r in range(repeats):
         if r:
+            t.unpersist(blocking=True)
             spark.catalog.clearCache()
             t = spark.read.parquet(path).repartition(2 * cpus, "conv_id").persist()
             t.count()

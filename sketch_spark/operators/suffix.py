@@ -119,6 +119,8 @@ def window_argmin(v: np.ndarray, w: int, slab_blocks: int = 2048) -> np.ndarray:
     per first call in every fresh Python worker).
 
     Returns absolute indices into v; output size n - w + 1."""
+    if not np.issubdtype(v.dtype, np.integer):
+        raise TypeError(f"window_argmin requires an integer dtype, got {v.dtype}")
     n = v.size
     nw = n - w + 1
     if nw <= 0:
@@ -149,7 +151,13 @@ def _window_argmin_seg(v: np.ndarray, w: int) -> np.ndarray:
     nw = n - w + 1
     nblocks = -(-n // w)
     pad = nblocks * w - n
-    INF = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # sentinel = dtype max (ADVICE r2: was a hard-coded uint64 constant that
+    # overflowed np.full for signed inputs).  Correctness with max instead of
+    # +inf: padding can only tie a real element, never beat it, and both
+    # scans break ties toward the leftmost (real) position; the prev-row
+    # sentinel only needs "nothing is strictly smaller before index 0",
+    # which max satisfies together with the explicit is_new[:, 0] = True.
+    INF = np.iinfo(v.dtype).max
     vp = np.concatenate([v, np.full(pad, INF, dtype=v.dtype)]).reshape(nblocks, w)
     col = np.broadcast_to(np.arange(w, dtype=np.int64), (nblocks, w))
 
