@@ -5,13 +5,16 @@ The reference's hash family (see SURVEY.md §2.2) maps as follows:
   * element hash (WangHash, reference hash.h:42-63, the public Thomas Wang
     64-bit mix): `wanghash_np` (numpy, bit-exact) and `wanghash_col` (Spark
     Column, requires non-ANSI session for two's-complement wraparound).
-  * string/shingle hash (reference XXH3, util.cpp:16-68): Spark's builtin
-    `xxhash64` (XXH64, JVM-side, whole-stage-codegen).  XXH3 per se is not
-    available in this environment (no xxhash wheel); XXH64 is the same family
-    with identical collision behavior for dedup purposes, and — critically —
-    it runs JVM-side, so shingle hashing never crosses into Python.
-    `xxh64_py` is a pure-Python bit-exact mirror of Spark's xxhash64 used by
-    the test oracle.
+  * string/shingle hash (reference XXH3, util.cpp:16-68): two tiers.
+    PRODUCTION: Spark's builtin `xxhash64` (XXH64, JVM-side, whole-stage
+    codegen — same family, identical collision behavior for dedup, and
+    shingle hashing never crosses into Python).  PARITY: a from-scratch
+    bit-exact XXH3-64 (`sketch_spark.functions.xxh3`, written from the
+    public spec, tested against 96 vectors generated from the vendored
+    library) provides the reference's exact `hash(str)` /
+    `hash(list_of_str)` / `hash_ngrams` values where cross-engine hash
+    equality matters.  `xxh64_py` is a pure-Python bit-exact mirror of
+    Spark's xxhash64 used by the test oracle.
   * engine-portable polynomial hash (`poly_hash_*`): identical integer
     arithmetic in Spark SQL and DuckDB SQL, used for the driver's
     cross-engine correctness gate (no overflow: everything stays < 2^63).
