@@ -18,6 +18,22 @@ def count_eq_col(a: Column, b: Column) -> Column:
     return F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
 
 
+def count_gtlt_col(a: Column, b: Column) -> Column:
+    """Generic pairwise (#a[i] > b[i], #b[i] > a[i]) over equal-length
+    arrays — reference count_eq.h:403-544 (`count_gtlt`; the SIMD variants
+    compute the same two counts).  Returns struct(n_gt, n_lt); n_eq follows
+    as size - n_gt - n_lt.  Used by the SetSketch α/β estimator
+    (setsketch.py) and exposed standalone for §2.6 parity."""
+    return F.struct(
+        F.size(F.filter(F.zip_with(a, b, lambda x, y: x > y), lambda v: v)).alias(
+            "n_gt"
+        ),
+        F.size(F.filter(F.zip_with(a, b, lambda x, y: x < y), lambda v: v)).alias(
+            "n_lt"
+        ),
+    )
+
+
 def hamming_col(a: Column, b: Column) -> Column:
     """Hamming distance between two int64 bit-signatures (SimHash verify)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -67,6 +83,7 @@ def sorted_merge_intersect_size_col(a_sorted: Column, b_sorted: Column) -> Colum
 
 __all__ = [
     "count_eq_col",
+    "count_gtlt_col",
     "hamming_col",
     "intersect_size_col",
     "jaccard_exact_col",

@@ -168,6 +168,18 @@ def hll_compress_col(regs: Column, p: int, p_new: int) -> Column:
     return F.transform(F.sequence(F.lit(0), F.lit(m_new - 1)), fold)
 
 
+def phll_quantize_col(regs: Column, bits: int = 4) -> Column:
+    """phll's packed-register value domain (reference bbmh.h:140-261: 4-bit
+    registers, two per byte).  The PACKING itself is storage encoding —
+    parquet byte-shuffle + dictionary already stores small ints compactly —
+    but the phll VALUE SEMANTICS are a real operation: registers saturate at
+    2^bits - 1.  This clamp makes a register array value-identical to what
+    the reference's packed sketch holds, so estimator parity over phll
+    registers can be tested concretely (tests/test_hll_estimators.py)."""
+    cap = (1 << bits) - 1
+    return F.transform(regs, lambda r: F.least(r, F.lit(cap)))
+
+
 def hll_est_error(p: int = DEFAULT_P) -> float:
     """Relative standard error ~1.03896/sqrt(m) (hll.h est_err)."""
     return 1.03896 / math.sqrt(1 << p)

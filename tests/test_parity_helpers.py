@@ -116,3 +116,48 @@ def test_capped_pairs_respects_per_item_cap(spark):
     # either side is within its cap; each spoke keeps its top-3 partners
     assert all(v >= 1 for v in per_item.values())
     assert len(pairs.collect()) < 20 * 21 / 2  # cap actually pruned
+
+
+def test_count_gtlt_matches_numpy(spark):
+    """Generic count_gtlt kernel (reference count_eq.h:403-544): pairwise
+    (#a>b, #b>a) over equal-length arrays, vs a numpy oracle."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sketch_spark.functions.arrays import count_gtlt_col
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(20):
+        n = int(rng.integers(1, 64))
+        a = rng.integers(-50, 50, size=n).tolist()
+        b = rng.integers(-50, 50, size=n).tolist()
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "i int, a array<long>, b array<long>")
+    got = {
+        r.i: (r.g["n_gt"], r.g["n_lt"])
+        for r in df.select("i", count_gtlt_col(F.col("a"), F.col("b")).alias("g")).collect()
+    }
+    for i, a, b in rows:
+        aa, bb = np.array(a), np.array(b)
+        assert got[i] == (int((aa > bb).sum()), int((bb > aa).sum())), i
+
+
+def test_phll_quantize_saturates(spark):
+    """phll value semantics (bbmh.h:140-261): registers clamp at 2^bits-1;
+    merge (elementwise max) commutes with the clamp."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sketch_spark.operators.hll import phll_quantize_col
+
+    rows = [(0, [0, 3, 14, 15, 16, 40, 7]), (1, [2, 20, 15, 1, 0, 9, 33])]
+    df = spark.createDataFrame(rows, "i int, regs array<int>")
+    out = {r.i: r.q for r in df.select("i", phll_quantize_col(F.col("regs")).alias("q")).collect()}
+    assert out[0] == [0, 3, 14, 15, 15, 15, 7]
+    assert out[1] == [2, 15, 15, 1, 0, 9, 15]
+    # max-merge then clamp == clamp then max-merge (phll merge parity)
+    a, b = np.array(rows[0][1]), np.array(rows[1][1])
+    assert np.minimum(np.maximum(a, b), 15).tolist() == np.maximum(
+        np.minimum(a, 15), np.minimum(b, 15)
+    ).tolist()
