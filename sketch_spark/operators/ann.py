@@ -332,6 +332,28 @@ def shrivastava_signature_np(
     )
 
 
+def shrivastava_registers_portable(
+    nz, m: int, dim: int, time_fn
+) -> "Column":
+    """Oracle-checkable variant of `shrivastava_signature_np` (reference
+    ShrivastavaHash, mh.h:1009-1177): register j = the support coordinate
+    with the minimum sampling time, realized with an engine-portable
+    integer `time_fn(d, j)` instead of WangHash ranks (whose uint64
+    wraparound has no portable SQL form — same split as q25's cyclic
+    densify vs the WangHash-probe production path).
+
+    Ties are made unambiguous by minimizing key = time*dim + d (injective
+    in d), so Spark and the SQL oracle agree bit-exactly.  Returns an
+    array<long> of m winner coordinates."""
+    # NB: bind j through a real closure — a two-parameter lambda (even with
+    # a default) makes F.transform use its (element, index) form and the
+    # second name silently becomes the array index column.
+    def keys_for(j: int):
+        return F.transform(nz, lambda d: time_fn(d, F.lit(j)) * dim + d)
+
+    return F.array(*[F.array_min(keys_for(j)) % dim for j in range(m)])
+
+
 def embedding_dup_pairs(
     vecs: DataFrame,
     id_col: str = "vec_id",

@@ -1734,6 +1734,68 @@ FROM grid g LEFT JOIN mx
 
 
 # ---------------------------------------------------------------------------
+# q35 — ShrivastavaHash sparse fixed-dim signatures (mh.h:1009-1177) through
+#        operators/ann.shrivastava_registers_portable: register j = the
+#        first support coordinate in sampling order j.  The portable
+#        mod-prime time replaces WangHash ranks (same production/oracle
+#        split as q25); support = coordinates with embedding > 0.
+# ---------------------------------------------------------------------------
+
+SHR_M, SHR_DIM = 16, 64
+
+
+def _shr_time(d, j):
+    # (d+1)*HA1 + (j+1)*HB1 + d*j*HA2 mod HP30 — all terms < 2^37, ANSI-safe
+    return (
+        (d + 1) * F.lit(HA1) + (j + 1) * F.lit(HB1) + d * j * F.lit(HA2)
+    ) % F.lit(HP30)
+
+
+def q35_shrivastava_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.ann import shrivastava_registers_portable
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nz = F.filter(
+        F.sequence(F.lit(0).cast("long"), F.lit(SHR_DIM - 1).cast("long")),
+        lambda d: F.element_at("embedding", (d + 1).cast("int")) > 0,
+    )
+    sig = shrivastava_registers_portable(F.col("nz"), SHR_M, SHR_DIM, _shr_time)
+    return (
+        e.select("vec_id", nz.alias("nz"))
+        .where(F.size("nz") > 0)
+        .select("vec_id", F.posexplode(sig).alias("register_idx", "register_value"))
+        .select(
+            "vec_id",
+            F.col("register_idx").cast("long").alias("register_idx"),
+            F.col("register_value").cast("long").alias("register_value"),
+        )
+    )
+
+
+Q35_SQL = f"""
+WITH nz AS (
+  SELECT vec_id,
+         list_filter(range(0, {SHR_DIM}),
+                     d -> embedding[CAST(d + 1 AS INTEGER)] > 0) AS nz
+  FROM embeddings
+), ex AS (
+  SELECT vec_id, CAST(u.d AS BIGINT) AS d
+  FROM nz, unnest(nz.nz) AS u(d)
+  WHERE len(nz.nz) > 0
+), keyed AS (
+  SELECT ex.vec_id, CAST(t.j AS BIGINT) AS j,
+         min((((ex.d + 1) * {HA1} + (CAST(t.j AS BIGINT) + 1) * {HB1}
+               + ex.d * CAST(t.j AS BIGINT) * {HA2}) % {HP30})
+             * {SHR_DIM} + ex.d) AS k
+  FROM ex, unnest(range(0, {SHR_M})) AS t(j)
+  GROUP BY ex.vec_id, t.j
+)
+SELECT vec_id, j AS register_idx, CAST(k % {SHR_DIM} AS BIGINT) AS register_value
+FROM keyed
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1772,6 +1834,7 @@ QUERIES = {
     "q32_bottomk_union_walk": q32_bottomk_union_walk,
     "q33_pcsa_registers": q33_pcsa_registers,
     "q34_hmh_registers": q34_hmh_registers,
+    "q35_shrivastava_registers": q35_shrivastava_registers,
 }
 
 ORACLES = {
@@ -1809,4 +1872,5 @@ ORACLES = {
     "q32_bottomk_union_walk": Q32_SQL,
     "q33_pcsa_registers": Q33_SQL,
     "q34_hmh_registers": Q34_SQL,
+    "q35_shrivastava_registers": Q35_SQL,
 }
