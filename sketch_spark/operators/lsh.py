@@ -60,6 +60,7 @@ def candidate_pairs(
     id_col: str = "conv_id",
     bucket_cap: int = 64,
     link_bands: int = 8,
+    hot_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(id, band, key) -> distinct candidate pairs (a, b, n_bands) with a < b.
 
@@ -86,7 +87,34 @@ def candidate_pairs(
     scale 1200: 29.9 s vs 40.6 s with bit-identical output (2,010,171
     pairs, exceptAll = 0 both ways); the earlier census-groupBy + join
     formulation cost 93 s.
+
+    Hot-bucket row-size guard (`hot_threshold`): collect_list makes each
+    bucket ONE row — O(members) bytes in one task, fine at the measured
+    36k-member worst case (~600 KB) but a multi-GB row for a 10^8-member
+    bucket at 10^12-turn scale.  A map-side-combined census (tiny
+    exchange: one count per distinct (band, key) per task) finds buckets
+    over the threshold; those are routed through a window-rank
+    formulation over the SAME (r, id) ordering — row_number over a
+    spillable external sort, so task memory stays bounded by the sort
+    buffer no matter the bucket size — and emit identical pairs (clique
+    over the first cap ranks, rank-1 root links beyond, asserted
+    bit-identical in tests/test_lsh_cc.py).  Buckets at or under the
+    threshold never leave the fast path, and when nothing exceeds it the
+    hot branch's plan is empty after the broadcast anti-join.
     """
+    from pyspark.sql import Window
+    assert hot_threshold >= bucket_cap
+    # exact, deterministic census (map-side combined; duplicates of a hot
+    # bucket collapse within each task, so the exchange carries at most one
+    # (band, key, count) row per distinct bucket per task)
+    hot = (
+        bands_df.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > hot_threshold)
+        .select("band", "key")
+    )
+    cold_bands = bands_df.join(F.broadcast(hot), ["band", "key"], "left_anti")
+
     # rank members by xxhash64(id, band) (independent order per band — the
     # reference's maxcand early stop, ssi.h:387-444, made deterministic).
     # The (rank, id) struct is built INSIDE the aggregation expression —
@@ -96,7 +124,7 @@ def candidate_pairs(
     # few 10^5-member hot buckets (boilerplate templates) single-task
     # stragglers: 3 interpreted passes x bucket size each.
     buckets = (
-        bands_df.groupBy("band", "key")
+        cold_bands.groupBy("band", "key")
         .agg(
             F.array_sort(
                 F.collect_list(
@@ -133,7 +161,44 @@ def candidate_pairs(
             F.greatest(F.col("_ms.i"), F.col("_root")).alias("b"),
         )
     )
-    pairs = head_pairs.unionByName(tails)
+    # hot path: identical (r, id) ordering realized as row_number + running
+    # first (= rank-1 root) over ONE ordered window — one spillable sort,
+    # no O(members) row, no join.  The heads re-collect into a cap-bounded
+    # array on the SAME (band, key) partitioning (no re-exchange) for the
+    # clique expansion.
+    hot_bands = bands_df.join(F.broadcast(hot), ["band", "key"], "left_semi")
+    wspec = Window.partitionBy("band", "key").orderBy("_r", "_i")
+    ranked = (
+        hot_bands.select(
+            "band",
+            "key",
+            F.col(id_col).alias("_i"),
+            F.xxhash64(F.col(id_col), F.col("band")).alias("_r"),
+        )
+        .withColumn("_rk", F.row_number().over(wspec))
+        .withColumn("_root", F.first("_i").over(wspec))
+    )
+    hot_heads = (
+        ranked.where(F.col("_rk") <= bucket_cap)
+        .groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(F.struct("_rk", "_i"))).alias("hh"))
+    )
+    hot_head_pairs = (
+        hot_heads.select(F.explode("hh").alias("sa"), F.col("hh"))
+        .select(F.col("sa._i").alias("a"), F.explode("hh").alias("sb"))
+        .select("a", F.col("sb._i").alias("b"))
+        .where(F.col("a") < F.col("b"))
+    )
+    hot_tails = ranked.where(
+        (F.col("_rk") > bucket_cap) & (F.col("band") < link_bands)
+    ).select(
+        F.least(F.col("_i"), F.col("_root")).alias("a"),
+        F.greatest(F.col("_i"), F.col("_root")).alias("b"),
+    )
+
+    pairs = head_pairs.unionByName(tails).unionByName(
+        hot_head_pairs
+    ).unionByName(hot_tails)
     return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_bands"))
 
 

@@ -255,7 +255,8 @@ def winnow_fingerprints(
 
 
 def substring_candidate_pairs(
-    fps: DataFrame, id_col: str = "conv_id", cap: int = 32
+    fps: DataFrame, id_col: str = "conv_id", cap: int = 32,
+    hot_threshold: int = 1_000_000,
 ) -> DataFrame:
     """fingerprints -> candidate pairs with coherent witness positions.
 
@@ -277,8 +278,21 @@ def substring_candidate_pairs(
     # interpreted per-array lambda over them becomes a single-task
     # straggler (same fix as lsh.candidate_pairs; the sort comparator
     # (r, id, pos) is unchanged, so selection is bit-identical).
-    buckets = (
+    # same hot-bucket row-size guard as lsh.candidate_pairs: buckets whose
+    # membership exceeds hot_threshold never go through collect_list (one
+    # O(members) row); they are routed through a window-rank formulation
+    # over the identical (r, id, pos) ordering (spillable sort, bounded
+    # task memory, bit-identical pairs — tested in tests/test_suffix.py)
+    assert hot_threshold >= cap
+    hot = (
         fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > hot_threshold)
+        .select("fp")
+    )
+    cold_fps = fps.join(F.broadcast(hot), ["fp"], "left_anti")
+    buckets = (
+        cold_fps.groupBy("fp")
         .agg(
             F.array_sort(
                 F.collect_list(
@@ -341,7 +355,56 @@ def substring_candidate_pairs(
             F.when(F.col("_mid") < F.col("_rid"), F.col("_rpos")).otherwise(F.col("_mpos")).alias("pos_b"),
         )
     )
-    pairs = head_pairs.unionByName(tails)
+    # hot path: identical (r, id, pos) ordering via ONE ordered window —
+    # row_number + running first(_i/_pos) (= rank-1 root) share one
+    # spillable sort; heads re-collect into a cap-bounded array on the
+    # same partitioning for the clique; no join anywhere
+    from pyspark.sql import Window
+
+    hot_fps = fps.join(F.broadcast(hot), ["fp"], "left_semi")
+    wspec = Window.partitionBy("fp").orderBy("_r", "_i", "_pos")
+    ranked = (
+        hot_fps.select(
+            "fp",
+            F.col(id_col).alias("_i"),
+            F.col("pos").alias("_pos"),
+            F.xxhash64(F.col(id_col), F.col("fp")).alias("_r"),
+        )
+        .withColumn("_rk", F.row_number().over(wspec))
+        .withColumn("_rid", F.first("_i").over(wspec))
+        .withColumn("_rpos", F.first("_pos").over(wspec))
+    )
+    hot_heads = (
+        ranked.where(F.col("_rk") <= cap)
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_list(F.struct("_rk", "_i", "_pos"))).alias("hh"))
+    )
+    hot_head_pairs = (
+        hot_heads.select(F.explode("hh").alias("ia"), F.col("hh"))
+        .select(
+            F.col("ia._i").alias("a"),
+            F.col("ia._pos").alias("pos_a"),
+            F.explode("hh").alias("ib"),
+        )
+        .where(F.col("a") < F.col("ib._i"))
+        .select("a", F.col("ib._i").alias("b"), "pos_a", F.col("ib._pos").alias("pos_b"))
+    )
+    hot_tails = (
+        ranked.where(F.col("_rk") > cap)
+        .withColumn("_ti", F.col("_rk") - cap - 1)
+        .where(
+            (F.col("_ti") < 8)
+            | (F.pmod(F.xxhash64("fp", F.col("_i")), F.lit(8)) == 0)
+        )
+        .select(
+            F.when(F.col("_i") < F.col("_rid"), F.col("_i")).otherwise(F.col("_rid")).alias("a"),
+            F.when(F.col("_i") < F.col("_rid"), F.col("_rid")).otherwise(F.col("_i")).alias("b"),
+            F.when(F.col("_i") < F.col("_rid"), F.col("_pos")).otherwise(F.col("_rpos")).alias("pos_a"),
+            F.when(F.col("_i") < F.col("_rid"), F.col("_rpos")).otherwise(F.col("_pos")).alias("pos_b"),
+        )
+    )
+
+    pairs = head_pairs.unionByName(tails).unionByName(hot_head_pairs).unionByName(hot_tails)
     return (
         pairs.where(F.col("a") != F.col("b"))
         .groupBy("a", "b")

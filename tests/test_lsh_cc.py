@@ -107,3 +107,55 @@ def test_connected_components_long_path(spark):
     got = {r.cluster_id for r in labels.collect()}
     assert got == {"p00"}
     assert iters <= 10
+
+
+def test_hot_bucket_routing_bit_identical(spark):
+    """Pairs must be identical whether a bucket is routed through the
+    array (collect_list) path or the window-rank hot path — the routing
+    threshold is a memory guard, not a semantics knob."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sketch_spark.operators.lsh import candidate_pairs
+
+    rng = random.Random(9)
+    rows = []
+    # bucket A: 500 members (hot at threshold 100), bucket B: 40 members,
+    # some members in both buckets on different bands
+    ids = [f"c{i:05d}" for i in range(520)]
+    for i in range(500):
+        rows.append((ids[i], 0, 111))
+    for i in range(480, 520):
+        rows.append((ids[i], 1, 222))
+    rng.shuffle(rows)
+    bands = spark.createDataFrame(rows, "conv_id string, band int, key long")
+    cold = candidate_pairs(bands, bucket_cap=16, link_bands=8, hot_threshold=10**6)
+    routed = candidate_pairs(bands, bucket_cap=16, link_bands=8, hot_threshold=100)
+    c = {(r.a, r.b, r.n_bands) for r in cold.collect()}
+    h = {(r.a, r.b, r.n_bands) for r in routed.collect()}
+    assert c == h and len(c) > 0
+
+
+def test_hot_bucket_ten_million_members_bounded(spark):
+    """A 10^7-member bucket must complete through the window-rank path with
+    bounded task memory (spillable sort), emitting cap-clique + root-link
+    pairs — never a 10^7-element collected row, never C(n,2) pairs."""
+    from pyspark.sql import functions as F
+
+    from sketch_spark.operators.lsh import candidate_pairs
+
+    n = 10_000_000
+    bands = spark.range(n).select(
+        F.format_string("c%09d", F.col("id")).alias("conv_id"),
+        F.lit(0).alias("band"),
+        F.lit(42).cast("long").alias("key"),
+    )
+    cap = 64
+    pairs = candidate_pairs(bands, bucket_cap=cap, link_bands=8, hot_threshold=500_000)
+    got = pairs.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("a", "b").alias("d")
+    ).collect()[0]
+    # cap-clique C(cap,2) + one root link per over-cap member
+    assert got.n == cap * (cap - 1) // 2 + (n - cap)
+    assert got.d == got.n

@@ -68,11 +68,13 @@ def test_dedup_shingle_path_has_no_python_udf(spark):
     assert "xxhash64" in plan.lower() or "xxhash" in plan.lower()
 
 
-def test_candidate_pairs_has_no_joins(spark):
-    """The LSH candidate stage must be join-free: bucket census, rank and
-    rank-1 root all come from window functions over ONE (band, key)
-    exchange — the census-join formulation shuffled the band table three
-    times and bounded measured scaling."""
+def test_candidate_pairs_no_shuffle_joins(spark):
+    """The LSH candidate stage must never shuffle-join the band table: the
+    fast path is a single (band, key) aggregation; the hot-bucket guard may
+    only add BROADCAST joins against the (tiny, map-side-combined) census
+    of over-threshold buckets.  SortMergeJoin/ShuffledHashJoin of the band
+    table is the 3-shuffle census-join formulation that bounded measured
+    scaling — keep it dead."""
     from sketch_spark.operators import lsh
 
     bands = spark.createDataFrame(
@@ -80,11 +82,12 @@ def test_candidate_pairs_has_no_joins(spark):
         "conv_id string, band int, key long",
     )
     plan = _plan(lsh.candidate_pairs(bands))
-    assert "Join" not in plan
-    assert plan.count("Exchange") <= 4
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # every join present is a broadcast of the hot census
+    assert plan.count("Join") == plan.count("BroadcastHashJoin")
 
 
-def test_substring_candidates_have_no_joins(spark):
+def test_substring_candidates_no_shuffle_joins(spark):
     from sketch_spark.operators import suffix
 
     fps = spark.createDataFrame(
@@ -92,8 +95,8 @@ def test_substring_candidates_have_no_joins(spark):
         "conv_id string, fp long, pos int",
     )
     plan = _plan(suffix.substring_candidate_pairs(fps))
-    assert "Join" not in plan
-    assert plan.count("Exchange") <= 4
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Join") == plan.count("BroadcastHashJoin")
 
 
 def test_exact_verify_uses_native_array_intersect(spark):

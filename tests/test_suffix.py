@@ -175,3 +175,28 @@ def test_substring_pairs_span_threshold(spark):
     conv = spark.createDataFrame(rows, "conv_id string, full_text string")
     pairs = suffix.substring_pairs(conv, L=200, k=50)
     assert pairs.count() == 0
+
+
+def test_substring_hot_bucket_routing_bit_identical(spark):
+    """Fingerprint buckets routed through the window-rank hot path must
+    produce byte-identical (pair, witnesses) rows vs the array path."""
+    import random
+
+    from sketch_spark.operators.suffix import substring_candidate_pairs
+
+    rng = random.Random(5)
+    rows = []
+    ids = [f"d{i:04d}" for i in range(300)]
+    for i in range(280):  # hot fp bucket (multiple pos per conv for some)
+        rows.append((ids[i], 777, i % 11))
+        if i % 7 == 0:
+            rows.append((ids[i], 777, 50 + i % 5))
+    for i in range(260, 300):  # cold bucket
+        rows.append((ids[i], 888, i % 3))
+    rng.shuffle(rows)
+    fps = spark.createDataFrame(rows, "conv_id string, fp long, pos int")
+    cold = substring_candidate_pairs(fps, cap=8, hot_threshold=10**6)
+    routed = substring_candidate_pairs(fps, cap=8, hot_threshold=64)
+    c = {(r.a, r.b, tuple((w.pos_a, w.pos_b) for w in r.witnesses)) for r in cold.collect()}
+    h = {(r.a, r.b, tuple((w.pos_a, w.pos_b) for w in r.witnesses)) for r in routed.collect()}
+    assert c == h and len(c) > 0
