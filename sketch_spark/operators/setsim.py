@@ -155,6 +155,143 @@ def overlap_count_join(
     )
 
 
+def overlap_join_hybrid(
+    sets_df: DataFrame,
+    id_col: str,
+    set_col: str,
+    t: int,
+    block_cols: tuple[str, ...] = (),
+    df_threshold: int = 8192,
+) -> DataFrame:
+    """Exact overlap self-join that stays sub-quadratic under HOT elements
+    (stopword-like n-grams with df ~ n, where `overlap_count_join`'s
+    Σ df_e² aggregation work goes quadratic at 100x scale).
+
+    Split at a document-frequency threshold:
+
+      * RARE elements (df <= df_threshold) go through the inverted-index
+        count join — cost Σ_rare df_e² <= df_threshold · Σ df_e, i.e.
+        linear in total tokens with a bounded constant.  Any qualifying
+        pair sharing >= 1 rare element is caught here.
+      * HOT elements (df > df_threshold) are FEW by construction
+        (H <= Σ df / df_threshold).  A pair whose shared elements are all
+        hot satisfies |A_hot ∩ B_hot| = |A ∩ B| >= t, so it is decided at
+        the level of hot-projection SIGNATURES: each doc's sorted array of
+        hot elements (bounded by H per row).  Distinct signatures pair
+        through their own (tiny) inverted index — cost Σ_hot k_e² where
+        k_e = #distinct signatures containing the element, NEVER #docs —
+        plus within-signature groups when |S| >= t.  Doc pairs are then
+        enumerated only for qualifying signature pairs (output-bound, the
+        skewed sig-key join is AQE-split).
+
+    Both branches emit candidate SUPERSETS; one exact array_intersect
+    verify over candidate rows yields (a, b, n_inter, n_a, n_b) with
+    n_inter >= t — value-identical to `overlap_count_join` (tested), at
+    Σ_rare df² + Σ_hot k² + |output| work instead of Σ_all df².
+    Signature ids are xxhash64(array) — a collision can only ADD
+    candidates (the verify trims), never lose a pair.
+    """
+    assert t >= 1
+    bc = list(block_cols)
+    ex = sets_df.select(
+        F.col(id_col).alias("_id"), *bc, F.explode(set_col).alias("_e")
+    )
+    dft = ex.groupBy(*bc, "_e").agg(F.count(F.lit(1)).alias("_df"))
+    hot = dft.where(F.col("_df") > df_threshold).select(*bc, "_e")
+
+    def _pair_cond(a, b, key: str, idc: str):
+        cond = (F.col(f"{a}.{key}") == F.col(f"{b}.{key}")) & (
+            F.col(f"{a}.{idc}") < F.col(f"{b}.{idc}")
+        )
+        for c in bc:
+            cond = cond & (F.col(f"{a}.{c}") == F.col(f"{b}.{c}"))
+        return cond
+
+    # rare branch: count-join over rare elements only
+    rare_ex = ex.join(F.broadcast(hot), bc + ["_e"], "left_anti")
+    ra, rb = rare_ex.alias("ra"), rare_ex.alias("rb")
+    rare_cands = (
+        ra.join(rb, _pair_cond("ra", "rb", "_e", "_id"))
+        .groupBy(F.col("ra._id").alias("a"), F.col("rb._id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("_nc"))
+        .select("a", "b")
+    )
+
+    # hot branch: per-doc hot-projection signature (bounded by H elements)
+    hot_ex = ex.join(F.broadcast(hot), bc + ["_e"], "left_semi")
+    sig = hot_ex.groupBy("_id", *bc).agg(
+        F.array_sort(F.collect_set("_e")).alias("_hs")
+    )
+    sig = sig.withColumn("_sid", F.xxhash64("_hs"))
+    ds = sig.select(*bc, "_sid", "_hs").distinct()
+    dex = ds.select(*bc, "_sid", F.explode("_hs").alias("_e"))
+    da, db = dex.alias("da"), dex.alias("db")
+    sig_pairs = (
+        da.join(db, _pair_cond("da", "db", "_e", "_sid"))
+        .groupBy(
+            *[F.col(f"da.{c}") for c in bc],
+            F.col("da._sid").alias("_sa"),
+            F.col("db._sid").alias("_sb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_hinter"))
+        .where(F.col("_hinter") >= t)
+        .select(*bc, "_sa", "_sb")
+    )
+    # doc-pair enumeration for qualifying cross-signature pairs (both
+    # orientations: doc ids are not ordered by signature id)
+    sa = sig.select(*bc, F.col("_id").alias("a"), F.col("_sid").alias("_sa"))
+    sb = sig.select(*bc, F.col("_id").alias("b"), F.col("_sid").alias("_sb"))
+    cross = (
+        sig_pairs.join(sa, bc + ["_sa"])
+        .join(sb, bc + ["_sb"])
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+    )
+    # within-signature groups with |S| >= t: every doc pair qualifies
+    big = ds.where(F.size("_hs") >= t).select(*bc, "_sid")
+    wa = sig.join(big, bc + ["_sid"], "left_semi").select(
+        *bc, "_sid", F.col("_id")
+    )
+    w1, w2 = wa.alias("w1"), wa.alias("w2")
+    within = (
+        w1.join(w2, _pair_cond("w1", "w2", "_sid", "_id"))
+        .select(F.col("w1._id").alias("a"), F.col("w2._id").alias("b"))
+    )
+
+    cands = (
+        rare_cands.unionByName(cross)
+        .unionByName(within)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("a", "b")
+    )
+    # exact verify: full arrays travel only to candidate rows
+    va = sets_df.select(
+        F.col(id_col).alias("a"),
+        F.col(set_col).alias("_seta"),
+        F.size(set_col).alias("n_a"),
+    )
+    vb = sets_df.select(
+        F.col(id_col).alias("b"),
+        F.col(set_col).alias("_setb"),
+        F.size(set_col).alias("n_b"),
+    )
+    return (
+        cands.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("_seta", "_setb")).alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
+        .where(F.col("n_inter") >= t)
+    )
+
+
 def overlap_join(
     sets_df: DataFrame,
     id_col: str,

@@ -759,6 +759,10 @@ def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no array verify pass).  The prefix-filter variant (overlap_join) keeps
     ~all of each 200-gram set at t=30, so its window ranks + verify join
     were pure overhead here.  Output and oracle unchanged.
+    100x-scale path: setsim.overlap_join_hybrid splits at a df threshold —
+    count-join for rare grams, signature-level pairing for stopword-like
+    hot grams (value-identical, tested) — switching here is a one-line
+    change once any gram's df² term dominates.
     |A∪B| = n_a + n_b - n_inter exactly (distinct sets), matching the
     oracle's list_distinct(concat)."""
     from sketch_spark.operators.setsim import overlap_count_join

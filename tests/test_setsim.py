@@ -68,3 +68,91 @@ def test_no_block_cols(spark):
     # cross-block pairs now qualify too: 1-4 (6 shared), 1-5/4-5 (4 shared)
     assert got[(1, 4)] == 6 and got[(1, 5)] == 4 and got[(4, 5)] == 4
     assert (1, 2) in got and (2, 7) in got
+
+
+@pytest.mark.parametrize("thr", [0, 2, 10**6])
+def test_hybrid_matches_count_join_planted(spark, thr):
+    """overlap_join_hybrid must be value-identical to overlap_count_join at
+    ANY df threshold (0 = everything hot, 10^6 = everything rare)."""
+    from sketch_spark.operators.setsim import overlap_join_hybrid
+
+    df = spark.createDataFrame(ROWS, "id long, blk string, es array<long>")
+    want = {
+        (r.a, r.b): (r.n_inter, r.n_a, r.n_b)
+        for r in overlap_count_join(df, "id", "es", 3, ("blk",)).collect()
+    }
+    got = {
+        (r.a, r.b): (r.n_inter, r.n_a, r.n_b)
+        for r in overlap_join_hybrid(df, "id", "es", 3, ("blk",), df_threshold=thr).collect()
+    }
+    assert got == want and got == _brute(3)
+
+
+def test_hybrid_hot_gram_skew_subquadratic(spark):
+    """Planted stopword regime: every doc shares HOT grams (df = n) plus a
+    few rare ones.  The rare branch must carry zero hot rows (its exploded
+    input excludes them — the Σ df² term the count join would pay), and the
+    hot branch must operate on FEW distinct signatures, not n docs; output
+    must still equal the exact count join."""
+    import random
+
+    from sketch_spark.operators.setsim import overlap_join_hybrid
+
+    rng = random.Random(3)
+    n = 400
+    hot_grams = [1000, 1001, 1002]        # in every doc -> df = n
+    rows = []
+    for i in range(n):
+        rare = rng.sample(range(100), 4)  # df ~ 4n/100 = 16 << threshold
+        rows.append((i, sorted(set(hot_grams + rare))))
+    df = spark.createDataFrame(rows, "id long, es array<long>")
+    t = 4  # 3 hot grams alone never qualify; hot+rare or rare-heavy pairs do
+    thr = 100
+    want = {
+        (r.a, r.b): r.n_inter
+        for r in overlap_count_join(df, "id", "es", t).collect()
+    }
+    got = {
+        (r.a, r.b): r.n_inter
+        for r in overlap_join_hybrid(df, "id", "es", t, df_threshold=thr).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # work-bound evidence: rare exploded rows exclude all df>thr elements,
+    # and the hot-signature index is ONE signature, not n
+    ex = df.select(F.col("id").alias("_id"), F.explode("es").alias("_e"))
+    dft = ex.groupBy("_e").agg(F.count(F.lit(1)).alias("_df"))
+    hot = dft.where(F.col("_df") > thr)
+    assert hot.count() == len(hot_grams)
+    sig = (
+        ex.join(F.broadcast(hot.select("_e")), ["_e"], "left_semi")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_set("_e")).alias("hs"))
+    )
+    assert sig.select("hs").distinct().count() == 1
+
+
+def test_hybrid_hot_only_pairs_found(spark):
+    """Pairs whose shared elements are ALL hot must still be found (the
+    signature branch), incl. cross-signature and within-signature cases."""
+    from sketch_spark.operators.setsim import overlap_join_hybrid
+
+    # elements 1..5 appear in 4+ docs each (hot at thr=3); docs share only hot
+    rows = [
+        (0, [1, 2, 3, 4, 100]),
+        (1, [1, 2, 3, 4, 101]),      # same hot sig as 0 -> within-sig
+        (2, [1, 2, 3, 5, 102]),      # sig overlap {1,2,3} with 0/1 -> cross
+        (3, [1, 2, 3, 4, 5, 103]),
+        (4, [1, 2, 3, 4, 5, 104]),
+        (5, [4, 5, 105]),
+    ]
+    df = spark.createDataFrame(rows, "id long, es array<long>")
+    want = {
+        (r.a, r.b): r.n_inter
+        for r in overlap_count_join(df, "id", "es", 3).collect()
+    }
+    got = {
+        (r.a, r.b): r.n_inter
+        for r in overlap_join_hybrid(df, "id", "es", 3, df_threshold=3).collect()
+    }
+    assert got == want and (0, 1) in got and (0, 2) in got
