@@ -56,8 +56,10 @@ class DedupConfig:
     simhash_max_hamming: int = 16
 
     def config_hash(self) -> str:
+        # _schema salts the hash so checkpoints written by an earlier stage
+        # schema (string-id exchanges, pre-cid) never resume into this code
         return hashlib.sha256(
-            json.dumps(asdict(self), sort_keys=True).encode()
+            json.dumps({**asdict(self), "_schema": 3}, sort_keys=True).encode()
         ).hexdigest()[:16]
 
 
@@ -160,21 +162,23 @@ class DedupPipeline:
 
         def build():
             # exploded + codegen min-agg, fused sparse->dense+densify numpy
-            # stage (no map pivot; see one_perm_signature_fast docstring)
-            ex = conv.select("conv_id", F.explode("shingles").alias("h"))
-            return minhash.one_perm_signature_fast(ex, "conv_id", "h", cfg.p)
+            # stage (no map pivot; see one_perm_signature_fast docstring).
+            # All inter-stage exchanges from here on are keyed on the 8-byte
+            # cid, not the string conv_id (conv_table dictionary encoding).
+            ex = conv.select("cid", F.explode("shingles").alias("h"))
+            return minhash.one_perm_signature_fast(ex, "cid", "h", cfg.p)
 
         return self.ckpt.run("sig", build)
 
     def exact_stage(self, conv: DataFrame) -> DataFrame:
-        return self.ckpt.run("exact", lambda: transcripts.exact_dup_pairs(conv))
+        return self.ckpt.run("exact", lambda: transcripts.exact_dup_pairs(conv, "cid"))
 
     def cands_stage(self, sig: DataFrame) -> DataFrame:
         cfg = self.cfg
 
         def build():
-            bands = lsh.band_keys(sig, "sig", "conv_id", cfg.rpr, 1 << cfg.p)
-            return lsh.candidate_pairs(bands, "conv_id", cfg.bucket_cap)
+            bands = lsh.band_keys(sig, "sig", "cid", cfg.rpr, 1 << cfg.p)
+            return lsh.candidate_pairs(bands, "cid", cfg.bucket_cap)
 
         return self.ckpt.run("cands", build)
 
@@ -185,13 +189,13 @@ class DedupPipeline:
             pre = cands
             if cfg.use_minhash_prefilter:
                 pre = lsh.verify_pairs(
-                    cands, sig, "conv_id", "sig", b_bits=64 - cfg.p, tau=cfg.tau_pre
+                    cands, sig, "cid", "sig", b_bits=64 - cfg.p, tau=cfg.tau_pre
                 )
             sa = conv.select(
-                F.col("conv_id").alias("a"), F.col("shingles").alias("_sha")
+                F.col("cid").alias("a"), F.col("shingles").alias("_sha")
             )
             sb = conv.select(
-                F.col("conv_id").alias("b"), F.col("shingles").alias("_shb")
+                F.col("cid").alias("b"), F.col("shingles").alias("_shb")
             )
             inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
             union = F.size(F.array_union("_sha", "_shb")).cast("double")
@@ -211,7 +215,7 @@ class DedupPipeline:
         return self.ckpt.run(
             "substr",
             lambda: suffix.substring_pairs(
-                conv, "full_text", "conv_id", cfg.substring_L, cfg.substring_k
+                conv, "full_text", "cid", cfg.substring_L, cfg.substring_k
             ),
         )
 
@@ -224,9 +228,9 @@ class DedupPipeline:
         if self.cfg.use_simhash_verify:
             from sketch_spark.operators import simhash as sh_mod
 
-            sims = sh_mod.simhash_signatures_np(conv, "shingles", "conv_id")
+            sims = sh_mod.simhash_signatures_np(conv, "shingles", "cid")
             cands = sh_mod.hamming_filter(
-                cands, sims, max_hamming=self.cfg.simhash_max_hamming
+                cands, sims, id_col="cid", max_hamming=self.cfg.simhash_max_hamming
             ).select("a", "b", "n_bands")
         verified = self.verify_stage(cands, sig, conv)
         edges = exact.select("a", "b").union(verified.select("a", "b"))
@@ -236,22 +240,40 @@ class DedupPipeline:
         else:
             substr = None
 
+        # CC runs in cid (long) space; translate labels back to conv_id
+        # strings only at the very end — two n-row hash joins against the
+        # (cid, conv_id) dictionary, AQE-sized
         labels, iters = cc_mod.connected_components(edges)
-        clusters = (
-            conv.select("conv_id")
-            .join(labels.withColumnRenamed("node", "conv_id"), "conv_id", "left")
+        lab = (
+            conv.select("conv_id", "cid")
+            .join(labels.withColumnRenamed("node", "cid"), "cid", "left")
             .select(
                 "conv_id",
-                F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id"),
+                F.coalesce("cluster_id", F.col("cid")).alias("_ccid"),
             )
         )
-        canonical = clusters.select(
-            "conv_id", "cluster_id", F.col("cluster_id").alias("canonical_conv_id")
+        canon = conv.select(
+            F.col("cid").alias("_ccid"), F.col("conv_id").alias("canonical_conv_id")
+        )
+        canonical = lab.join(canon, "_ccid").select(
+            "conv_id",
+            F.col("canonical_conv_id").alias("cluster_id"),
+            "canonical_conv_id",
         )
 
-        # lineage counters (north rule §7.6)
+        # lineage counters (north rule §7.6); the one agg also asserts the
+        # cid dictionary encoding is injective this run (hash ids — see
+        # transcripts.conv_table; dense ingest ids replace this at 10^12)
+        cr = conv.agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct("cid").alias("d")
+        ).collect()[0]
+        if int(cr.n) != int(cr.d):
+            raise AssertionError(
+                f"cid collision: {cr.n} convs -> {cr.d} distinct cids; "
+                "assign dense ids at ingest"
+            )
         self.counters = {
-            "convs": conv.count(),
+            "convs": int(cr.n),
             "exact_pairs": exact.count(),
             "candidate_pairs": cands.count(),
             "verified_pairs": verified.count(),

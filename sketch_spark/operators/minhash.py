@@ -148,7 +148,8 @@ def one_perm_signature_fast(
             out = [None if all_empty[r] else lists[r] for r in range(n)]
             yield pd.DataFrame({group_col: pdf[group_col], "sig": out})
 
-    return entries.mapInPandas(gen, schema=f"{group_col} string, sig array<long>")
+    gtype = shingles.schema[group_col].dataType.simpleString()
+    return entries.mapInPandas(gen, schema=f"{group_col} {gtype}, sig array<long>")
 
 
 def one_perm_signature_from_array(

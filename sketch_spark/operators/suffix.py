@@ -247,10 +247,11 @@ def winnow_fingerprints(
                     ids.extend([cid] * len(sel))
                     fps.extend(allh[st + sel].astype(np.int64).tolist())
                     poss.extend(sel.astype(np.int64).tolist())
-            yield pd.DataFrame({"conv_id": ids, "fp": fps, "pos": poss})
+            yield pd.DataFrame({id_col: ids, "fp": fps, "pos": poss})
 
+    id_type = conv.schema[id_col].dataType.simpleString()
     return conv.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
-        gen, schema=f"{id_col} string, fp long, pos int"
+        gen, schema=f"{id_col} {id_type}, fp long, pos int"
     )
 
 

@@ -48,6 +48,14 @@ def conv_table(transcripts: DataFrame, n: int = DEFAULT_N, seed: int = DEFAULT_S
     )
     return agg.select(
         "conv_id",
+        # dictionary-encoded 8-byte working id: every downstream exchange
+        # (64 band rows + ~L/w fingerprint rows per conv, the pipeline's
+        # dominant byte streams) carries this long instead of the string id.
+        # xxhash64 keeps it join-free and deterministic; injectivity is
+        # ASSERTED per run (one agg over the persisted conv table,
+        # dedup.DedupPipeline.run) — at 10^12 convs assign dense ids at
+        # ingest instead and drop the assert.
+        F.xxhash64("conv_id").alias("cid"),
         n_turns.alias("n_turns"),
         full_text.alias("full_text"),
         F.xxhash64(full_text, F.lit(seed)).alias("full_hash"),
@@ -57,9 +65,9 @@ def conv_table(transcripts: DataFrame, n: int = DEFAULT_N, seed: int = DEFAULT_S
     )
 
 
-def exact_dup_pairs(conv: DataFrame) -> DataFrame:
+def exact_dup_pairs(conv: DataFrame, id_col: str = "conv_id") -> DataFrame:
     """Exact duplicates: identical full_text (hash-grouped, then pairs to the
-    group's canonical = min conv_id; a star, which is all connected
+    group's canonical = min id; a star, which is all connected
     components needs).  Catches short convs with zero shingles too.
 
     Equality is keyed on TWO independent 64-bit hashes (different seeds):
@@ -71,7 +79,7 @@ def exact_dup_pairs(conv: DataFrame) -> DataFrame:
     keys = ["full_hash", "full_hash2"] if "full_hash2" in conv.columns else ["full_hash"]
     groups = (
         conv.groupBy(*keys)
-        .agg(F.sort_array(F.collect_list("conv_id")).alias("ids"))
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
     )
     return groups.select(
