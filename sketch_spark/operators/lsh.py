@@ -91,9 +91,10 @@ def candidate_pairs(
     Hot-bucket row-size guard (`hot_threshold`): collect_list makes each
     bucket ONE row — O(members) bytes in one task, fine at the measured
     36k-member worst case (~600 KB) but a multi-GB row for a 10^8-member
-    bucket at 10^12-turn scale.  A map-side-combined census (tiny
-    exchange: one count per distinct (band, key) per task) finds buckets
-    over the threshold; those are routed through a window-rank
+    bucket at 10^12-turn scale.  A seeded sampled census (~400 expected
+    samples per at-threshold bucket; one cheap re-scan, no second full
+    exchange) finds buckets over the threshold; those are routed through
+    a window-rank
     formulation over the SAME (r, id) ordering — row_number over a
     spillable external sort, so task memory stays bounded by the sort
     buffer no matter the bucket size — and emit identical pairs (clique
@@ -104,16 +105,37 @@ def candidate_pairs(
     """
     from pyspark.sql import Window
     assert hot_threshold >= bucket_cap
-    # exact, deterministic census (map-side combined; duplicates of a hot
-    # bucket collapse within each task, so the exchange carries at most one
-    # (band, key, count) row per distinct bucket per task)
-    hot = (
-        bands_df.groupBy("band", "key")
+    # SAMPLED census, COLLECTED: routing only needs to CATCH huge buckets,
+    # and both routes emit bit-identical pairs (tested), so a seeded
+    # 400/hot_threshold sample deciding "hot" at >= 200 expected samples
+    # misses a >= hot_threshold bucket with probability ~e^-200.  The hot
+    # key list is bounded (#buckets over threshold) and collected to the
+    # driver as xxhash64(band, key) values; when it is EMPTY — every run
+    # at every measured scale — the function returns the original
+    # single-consumer plan with zero routing overhead (the earlier
+    # broadcast anti/semi formulation re-ran the band explode per
+    # consumer: measured +50% on the whole stage).  A cold bucket whose
+    # key hash collides with a hot one just takes the identical-output
+    # window path.
+    frac = min(1.0, 400.0 / hot_threshold) if hot_threshold > 400 else 1.0
+    src = bands_df if frac >= 1.0 else bands_df.sample(frac, seed=7)
+    hot_rows = (
+        src.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > hot_threshold)
-        .select("band", "key")
+        .where(F.col("_n") >= max(frac * hot_threshold / 2.0, 1.0))
+        .select(F.xxhash64("band", "key").alias("_hk"))
+        .limit(100_001)
+        .collect()
     )
-    cold_bands = bands_df.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    if len(hot_rows) > 100_000:
+        raise AssertionError(
+            "over 100k hot LSH buckets — raise hot_threshold or shrink bands"
+        )
+    hot_hks = [r._hk for r in hot_rows]
+    hk = F.xxhash64("band", "key")
+    cold_bands = (
+        bands_df if not hot_hks else bands_df.where(~hk.isin(hot_hks))
+    )
 
     # rank members by xxhash64(id, band) (independent order per band — the
     # reference's maxcand early stop, ssi.h:387-444, made deterministic).
@@ -161,12 +183,18 @@ def candidate_pairs(
             F.greatest(F.col("_ms.i"), F.col("_root")).alias("b"),
         )
     )
+    def pairs_from(p: DataFrame) -> DataFrame:
+        return p.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_bands"))
+
+    if not hot_hks:
+        return pairs_from(head_pairs.unionByName(tails))
+
     # hot path: identical (r, id) ordering realized as row_number + running
     # first (= rank-1 root) over ONE ordered window — one spillable sort,
     # no O(members) row, no join.  The heads re-collect into a cap-bounded
     # array on the SAME (band, key) partitioning (no re-exchange) for the
     # clique expansion.
-    hot_bands = bands_df.join(F.broadcast(hot), ["band", "key"], "left_semi")
+    hot_bands = bands_df.where(hk.isin(hot_hks))
     wspec = Window.partitionBy("band", "key").orderBy("_r", "_i")
     ranked = (
         hot_bands.select(
@@ -196,10 +224,11 @@ def candidate_pairs(
         F.greatest(F.col("_i"), F.col("_root")).alias("b"),
     )
 
-    pairs = head_pairs.unionByName(tails).unionByName(
-        hot_head_pairs
-    ).unionByName(hot_tails)
-    return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_bands"))
+    return pairs_from(
+        head_pairs.unionByName(tails)
+        .unionByName(hot_head_pairs)
+        .unionByName(hot_tails)
+    )
 
 
 def band_keys_multilevel(
