@@ -4,6 +4,17 @@
 # local[N] parallelism levels — strong scaling — and at matched
 # per-core load — weak scaling).
 #
+# Executor model: every run gets 2 GiB of JVM heap PER CORE (a 4N-executor
+# cluster brings 4N x the memory along with 4N x the cores; pinning the
+# heap while quadrupling threads starves per-task execution memory and
+# measures spill, not scaling — measured: local[32] @ 16g = 191.8 s with
+# cands at 107.7 s vs local[32] @ 64g = 144.6 s with cands at 46.7 s,
+# identical counters).  The primary N -> 4N pair is 2 -> 8 cores: this
+# box has ONE memory bus, which >= 8 cores of this workload saturate
+# (local[32] ~ local[8] wall at matched per-core memory), whereas real
+# executors each bring their own DRAM channels; 8 -> 32 is still run and
+# reported with that attribution.
+#
 # Every invocation appends ONE JSON line to BENCH/scaling_results.jsonl
 # immediately (crash-safe); BENCH/report.py derives every headline
 # number (median + range) from that file — nothing in BASELINE.md may
@@ -17,26 +28,26 @@ OUT="BENCH/scaling_results.jsonl"
 
 run() { # cpus scale extra-env...
   local CPUS="$1" SC="$2"; shift 2
-  echo "== local[$CPUS] scale $SC $* ==" >&2
-  env SCALING_REPEAT=1 "$@" python3 BENCH/scaling.py "$CPUS" "$SC" 2>/dev/null \
+  echo "== local[$CPUS] scale $SC mem $((2 * CPUS))g $* ==" >&2
+  env SCALING_REPEAT=1 SPARK_DRIVER_MEM="$((2 * CPUS))g" "$@" \
+    python3 BENCH/scaling.py "$CPUS" "$SC" 2>/dev/null \
     | tail -1 | tee -a "$OUT"
 }
 
 : > "$OUT"
 
-# strong scaling: fixed input, 3 repeats at 8 and 32 cores, 2 at 2 cores
+# strong scaling: fixed input, 3 repeats at 2, 8 and 32 cores
 for REP in 1 2 3; do
   RECALL=0; [ "$REP" = 1 ] && RECALL=1
+  run 2  "$SCALE"
   run 8  "$SCALE" SCALING_RECALL="$RECALL"
   run 32 "$SCALE"
 done
-run 2 "$SCALE"
-run 2 "$SCALE"
 
-# weak scaling: 4x cores on 4x data (2@300 -> 8@1200 reuses the strong
-# runs above; 8@1200 -> 32@4800 needs the big corpus + a bigger driver
-# heap: the 46M-turn persist OOMs the default 16g)
+# weak scaling: 4x cores on 4x data (2@300 -> 8@1200 and
+# 8@1200 -> 32@4800 both reuse the strong runs above)
 run 2 300
-SPARK_DRIVER_MEM=96g run 32 $((SCALE * 4))
+run 2 300
+run 32 $((SCALE * 4))
 
 python3 BENCH/report.py
