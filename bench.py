@@ -29,6 +29,10 @@ def main() -> None:
     turns_target = int(os.environ.get("BENCH_TURNS", "200000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # executor-model heap: 2 GiB per core (matching BENCH/run_scaling.sh;
+    # a fixed 16g heap at 32 threads starves per-task execution memory and
+    # measures spill, not the plans).  SPARK_DRIVER_MEM still overrides.
+    os.environ.setdefault("SPARK_DRIVER_MEM", f"{2 * cpus}g")
     spark = get_spark("sketch-spark-bench", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus)
 
