@@ -4,16 +4,22 @@
 # local[N] parallelism levels — strong scaling — and at matched
 # per-core load — weak scaling).
 #
-# Executor model: every run gets 2 GiB of JVM heap PER CORE (a 4N-executor
-# cluster brings 4N x the memory along with 4N x the cores; pinning the
-# heap while quadrupling threads starves per-task execution memory and
-# measures spill, not scaling — measured: local[32] @ 16g = 191.8 s with
-# cands at 107.7 s vs local[32] @ 64g = 144.6 s with cands at 46.7 s,
-# identical counters).  The primary N -> 4N pair is 2 -> 8 cores: this
-# box has ONE memory bus, which >= 8 cores of this workload saturate
-# (local[32] ~ local[8] wall at matched per-core memory), whereas real
-# executors each bring their own DRAM channels; 8 -> 32 is still run and
-# reported with that attribution.
+# Executor model: every run gets 2 GiB of JVM heap PER CORE, floored at
+# 16 GiB.  Per-core: a 4N-executor cluster brings 4N x the memory along
+# with 4N x the cores; pinning the heap while quadrupling threads
+# starves per-task execution memory and measures spill, not scaling —
+# measured: local[32] @ 16g = 191.8 s with cands at 107.7 s vs
+# local[32] @ 64g = 144.6 s with cands at 46.7 s, identical counters.
+# Floor: at low parallelism this ONE JVM holds the whole cached input
+# that a real small cluster still spreads across full-memory executor
+# nodes — local[2] @ 4g dies outright at scale 1200; and giving the
+# small-N side MORE memory can only shrink T_N, which LOWERS the
+# reported efficiency T_N/(4*T_4N): the floor is conservative.  The
+# primary N -> 4N pair is 2 -> 8 cores: this box has ONE memory bus,
+# which >= 8 cores of this workload saturate (local[32] ~ local[8] wall
+# at matched per-core memory), whereas real executors each bring their
+# own DRAM channels; 8 -> 32 is still run and reported with that
+# attribution.
 #
 # Every invocation appends ONE JSON line to BENCH/scaling_results.jsonl
 # immediately (crash-safe); BENCH/report.py derives every headline
@@ -26,11 +32,17 @@ cd "$(dirname "$0")/.."
 SCALE="${1:-1200}"
 OUT="BENCH/scaling_results.jsonl"
 
+mkdir -p BENCH/logs
+RUN_N=0
+
 run() { # cpus scale extra-env...
   local CPUS="$1" SC="$2"; shift 2
-  echo "== local[$CPUS] scale $SC mem $((2 * CPUS))g $* ==" >&2
-  env SCALING_REPEAT=1 SPARK_DRIVER_MEM="$((2 * CPUS))g" "$@" \
-    python3 BENCH/scaling.py "$CPUS" "$SC" 2>/dev/null \
+  local MEM=$((2 * CPUS)); [ "$MEM" -lt 16 ] && MEM=16
+  RUN_N=$((RUN_N + 1))
+  local LOG="BENCH/logs/scaling_${RUN_N}_c${CPUS}_s${SC}.log"
+  echo "== local[$CPUS] scale $SC mem ${MEM}g $* ==" >&2
+  env SCALING_REPEAT=1 SPARK_DRIVER_MEM="${MEM}g" "$@" \
+    python3 BENCH/scaling.py "$CPUS" "$SC" 2>"$LOG" \
     | tail -1 | tee -a "$OUT"
 }
 
