@@ -69,6 +69,7 @@ def main() -> None:
     print("\n### Weak scaling (4x cores on 4x data, median warm walls)\n")
     for (clo, slo), (chi, shi) in [
         ((2, 300), (8, 1200)),
+        ((2, 1200), (8, 4800)),
         ((8, 1200), (32, 4800)),
     ]:
         if (clo, slo) in stats and (chi, shi) in stats:
