@@ -29,10 +29,16 @@ def main() -> None:
     turns_target = int(os.environ.get("BENCH_TURNS", "200000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    # executor-model heap: 2 GiB per core (matching BENCH/run_scaling.sh;
-    # a fixed 16g heap at 32 threads starves per-task execution memory and
-    # measures spill, not the plans).  SPARK_DRIVER_MEM still overrides.
-    os.environ.setdefault("SPARK_DRIVER_MEM", f"{2 * cpus}g")
+    # executor-model heap: 2 GiB per core, capped at 16 GiB.  The cap is
+    # measured, not guessed: BENCH/diag_c32.json shows the identical
+    # local[32] job 1.49x FASTER with a 16 GiB pinned heap than warm with
+    # 64 GiB — on this host a large pre-touched resident heap pushes the
+    # guest past its reclaim boundary and every Python-worker slab
+    # allocation serializes on the hypervisor's slow page-population path
+    # (BENCH/BASELINE.md section 3b).  At bench scale (sf0.1, 200k turns)
+    # 16 GiB never spills (round-2 ran the same work in 16 GiB).
+    # SPARK_DRIVER_MEM still overrides.
+    os.environ.setdefault("SPARK_DRIVER_MEM", f"{min(2 * cpus, 16)}g")
     spark = get_spark("sketch-spark-bench", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus)
 
