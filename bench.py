@@ -35,10 +35,24 @@ def main() -> None:
     # 64 GiB — on this host a large pre-touched resident heap pushes the
     # guest past its reclaim boundary and every Python-worker slab
     # allocation serializes on the hypervisor's slow page-population path
-    # (BENCH/BASELINE.md section 3b).  At bench scale (sf0.1, 200k turns)
-    # 16 GiB never spills (round-2 ran the same work in 16 GiB).
-    # SPARK_DRIVER_MEM still overrides.
+    # (BENCH/BASELINE.md section 3b).  The cap is a trade, not a free win:
+    # at scale-1200 the diag's own stage table shows cands pays a little
+    # for it (67.9 s warm/64 GiB -> 78.1 s cold/16 GiB, and an earlier
+    # 16 GiB local[32] run spilled cands to 107.7 s — run_scaling.sh
+    # header), traded against the much larger page-population loss.  At
+    # BENCH scale (sf0.1, 200k turns) 16 GiB never spills (round-2 ran
+    # the same work in 16 GiB).  SPARK_DRIVER_MEM still overrides.
     os.environ.setdefault("SPARK_DRIVER_MEM", f"{min(2 * cpus, 16)}g")
+
+    # Idle-box guard (VERDICT r3 #10): a busy host inflates every number
+    # 2-5x through the same page-population path; the artifact must say so
+    # instead of leaving a regression ambiguous between host and plan.
+    load1 = os.getloadavg()[0]
+    if load1 > 2.0:
+        print(
+            f"# WARNING: host not idle (load1={load1:.2f}) — walls below "
+            "are not comparable across rounds", file=sys.stderr,
+        )
     spark = get_spark("sketch-spark-bench", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus)
 
@@ -54,9 +68,13 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
     from pyspark.sql import functions as F
 
+    # NB: GroupedData.count() is a TRANSFORMATION (returns a DataFrame);
+    # the warmup shuffle only runs if the chain ends in an action (the
+    # round-3 artifact paid ~10 s of first-query page population because
+    # this line silently did nothing — VERDICT r3 #1).
     spark.range(50_000_000).repartition(2 * cpus, "id").groupBy(
         F.pmod("id", F.lit(97))
-    ).count()
+    ).count().count()
     spark.range(4 * cpus).repartition(2 * cpus).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
@@ -136,6 +154,8 @@ def main() -> None:
         "dedup_turns_per_sec": tps,
         "cpus": cpus,
         "counters": pipe.counters,
+        "dedup_stages": stage_s,
+        "load1_at_start": round(load1, 2),
     }))
     spark.stop()
 

@@ -178,7 +178,12 @@ class DedupPipeline:
 
         def build():
             bands = lsh.band_keys(sig, "sig", "cid", cfg.rpr, 1 << cfg.p)
-            return lsh.candidate_pairs(bands, "cid", cfg.bucket_cap)
+            # sig row count = #convs, known for free from the sig stage's
+            # materialization — lets candidate_pairs prove the hot-bucket
+            # census empty and skip its extra pass (VERDICT r3 #1c)
+            return lsh.candidate_pairs(
+                bands, "cid", cfg.bucket_cap, n_ids=self.ckpt.rows_of("sig")
+            )
 
         return self.ckpt.run("cands", build)
 
@@ -242,45 +247,56 @@ class DedupPipeline:
 
         # CC runs in cid (long) space; translate labels back to conv_id
         # strings only at the very end — two n-row hash joins against the
-        # (cid, conv_id) dictionary, AQE-sized
-        labels, iters = cc_mod.connected_components(edges)
-        lab = (
-            conv.select("conv_id", "cid")
-            .join(labels.withColumnRenamed("node", "cid"), "cid", "left")
-            .select(
-                "conv_id",
-                F.coalesce("cluster_id", F.col("cid")).alias("_ccid"),
+        # (cid, conv_id) dictionary, AQE-sized.  Timed + materialized as a
+        # named stage: VERDICT r3 #5 — the untimed CC/label region is where
+        # a 90 s bench regression hid.
+        def run_cc():
+            labels, iters = cc_mod.connected_components(edges)
+            lab = (
+                conv.select("conv_id", "cid")
+                .join(labels.withColumnRenamed("node", "cid"), "cid", "left")
+                .select(
+                    "conv_id",
+                    F.coalesce("cluster_id", F.col("cid")).alias("_ccid"),
+                )
             )
-        )
-        canon = conv.select(
-            F.col("cid").alias("_ccid"), F.col("conv_id").alias("canonical_conv_id")
-        )
-        canonical = lab.join(canon, "_ccid").select(
-            "conv_id",
-            F.col("canonical_conv_id").alias("cluster_id"),
-            "canonical_conv_id",
-        )
+            canon = conv.select(
+                F.col("cid").alias("_ccid"),
+                F.col("conv_id").alias("canonical_conv_id"),
+            )
+            canonical = lab.join(canon, "_ccid").select(
+                "conv_id",
+                F.col("canonical_conv_id").alias("cluster_id"),
+                "canonical_conv_id",
+            ).persist()
+            canonical.count()
+            return canonical, iters
+
+        canonical, iters = self.ckpt.timed("cc", run_cc)
 
         # lineage counters (north rule §7.6); the one agg also asserts the
         # cid dictionary encoding is injective this run (hash ids — see
         # transcripts.conv_table; dense ingest ids replace this at 10^12)
-        cr = conv.agg(
-            F.count(F.lit(1)).alias("n"), F.count_distinct("cid").alias("d")
-        ).collect()[0]
-        if int(cr.n) != int(cr.d):
-            raise AssertionError(
-                f"cid collision: {cr.n} convs -> {cr.d} distinct cids; "
-                "assign dense ids at ingest"
-            )
-        self.counters = {
-            "convs": int(cr.n),
-            "exact_pairs": exact.count(),
-            "candidate_pairs": cands.count(),
-            "verified_pairs": verified.count(),
-            "substring_pairs": substr.count() if substr is not None else 0,
-            "cc_iterations": iters,
-            "clusters": canonical.select("cluster_id").distinct().count(),
-        }
+        def run_counters():
+            cr = conv.agg(
+                F.count(F.lit(1)).alias("n"), F.count_distinct("cid").alias("d")
+            ).collect()[0]
+            if int(cr.n) != int(cr.d):
+                raise AssertionError(
+                    f"cid collision: {cr.n} convs -> {cr.d} distinct cids; "
+                    "assign dense ids at ingest"
+                )
+            return {
+                "convs": int(cr.n),
+                "exact_pairs": exact.count(),
+                "candidate_pairs": cands.count(),
+                "verified_pairs": verified.count(),
+                "substring_pairs": substr.count() if substr is not None else 0,
+                "cc_iterations": iters,
+                "clusters": canonical.select("cluster_id").distinct().count(),
+            }
+
+        self.counters = self.ckpt.timed("counters", run_counters)
         return {
             "conv": conv,
             "sig": sig,

@@ -257,7 +257,7 @@ def winnow_fingerprints(
 
 def substring_candidate_pairs(
     fps: DataFrame, id_col: str = "conv_id", cap: int = 32,
-    hot_threshold: int = 1_000_000,
+    hot_threshold: int = 1_000_000, n_fps: int | None = None,
 ) -> DataFrame:
     """fingerprints -> candidate pairs with coherent witness positions.
 
@@ -290,16 +290,24 @@ def substring_candidate_pairs(
     # original single-consumer plan untouched.  The caller persists fps so
     # census/cold/hot consumers never re-run the winnowing kernel.
     assert hot_threshold >= cap
-    frac = min(1.0, 400.0 / hot_threshold) if hot_threshold > 400 else 1.0
-    src = fps if frac >= 1.0 else fps.sample(frac, seed=7)
-    hot_rows = (
-        src.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") >= max(frac * hot_threshold / 2.0, 1.0))
-        .select("fp")
-        .limit(100_001)
-        .collect()
-    )
+    # Provable census skip (mirrors lsh.candidate_pairs): an fp bucket can
+    # never hold more rows than the whole fingerprint table; with the total
+    # known (one count on the persisted fps — free next to the winnowing it
+    # forces anyway) and under the threshold, the census answer is provably
+    # empty.
+    if n_fps is not None and n_fps < hot_threshold:
+        hot_rows = []
+    else:
+        frac = min(1.0, 400.0 / hot_threshold) if hot_threshold > 400 else 1.0
+        src = fps if frac >= 1.0 else fps.sample(frac, seed=7)
+        hot_rows = (
+            src.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") >= max(frac * hot_threshold / 2.0, 1.0))
+            .select("fp")
+            .limit(100_001)
+            .collect()
+        )
     if len(hot_rows) > 100_000:
         raise AssertionError(
             "over 100k hot fingerprint buckets — raise hot_threshold"
@@ -632,5 +640,6 @@ def substring_pairs(
     # pipeline's most expensive numpy stage — it must run exactly once.
     # (Freed by the session's next clearCache / stage materialization.)
     fps = winnow_fingerprints(conv, text_col, id_col, L, k).persist()
-    cands = substring_candidate_pairs(fps, id_col)
+    n_fps = fps.count()  # materializes once; also powers the census skip
+    cands = substring_candidate_pairs(fps, id_col, n_fps=n_fps)
     return verify_substring_pairs(cands, conv, text_col, id_col, L)

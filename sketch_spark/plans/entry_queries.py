@@ -511,48 +511,30 @@ HAM_MAX = 12
 
 
 def q08_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-index Hamming prefilter instead of all-pairs: split the 60-bit
-    SimHash into HAM_MAX+1 = 13 chunks; any pair within Hamming distance 12
-    differs in at most 12 chunks, so it matches EXACTLY on at least one
-    (pigeonhole) — the chunk equi-join is an exact candidate superset and
-    the XOR verify makes the output oracle-identical."""
+    """EXACT Hamming-radius self-join via multi-index hashing with split
+    enumeration (simhash.hamming_pairs_exact) — replaces the 13-chunk
+    pigeonhole prefilter whose ~4.6-bit keys held ~n/24 of the corpus per
+    bucket and tended to n²/24 join rows per chunk at 100x data (VERDICT
+    r3 #3).  The new scheme joins on 12-bit chunk keys with <= 2-bit XOR
+    enumeration: same exact output (pairs within HAM_MAX, oracle-identical),
+    ~5.6x fewer candidate rows and ~170x smaller max buckets on uniform
+    hashes, and all index work happens per DISTINCT simhash value (near-dup
+    corpora collapse).  Candidate-volume plan gate: tests/test_simhash.py.
+    """
+    from sketch_spark.operators.simhash import hamming_pairs_exact
+
     sim = q07_simhash(spark, sf_dir)
     src = _docs(spark, sf_dir).select("doc_id", "source")
     sim = sim.join(src, "doc_id")
-    n_chunks = HAM_MAX + 1
-    bounds = [round(60 * c / n_chunks) for c in range(n_chunks + 1)]
-    keys = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("c"),
-                F.shiftrightunsigned(F.col("simhash"), bounds[c])
-                .bitwiseAND(F.lit((1 << (bounds[c + 1] - bounds[c])) - 1))
-                .alias("k"),
-            )
-            for c in range(n_chunks)
-        ]
+    pairs = hamming_pairs_exact(
+        sim, id_col="doc_id", sim_col="simhash", bits=60,
+        max_hamming=HAM_MAX, block_cols=("source",),
     )
-    ex = sim.select("doc_id", "source", "simhash", F.explode(keys).alias("ck"))
-    cand = (
-        ex.alias("x")
-        .join(
-            ex.alias("y"),
-            (F.col("x.source") == F.col("y.source"))
-            & (F.col("x.ck") == F.col("y.ck"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("a_doc"),
-            F.col("y.doc_id").alias("b_doc"),
-            F.col("x.simhash").alias("_sa"),
-            F.col("y.simhash").alias("_sb"),
-        )
-        .distinct()
+    return pairs.select(
+        F.col("a").alias("a_doc"),
+        F.col("b").alias("b_doc"),
+        F.col("hamming").cast("long").alias("hamming"),
     )
-    dist = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    return cand.select(
-        "a_doc", "b_doc", dist.cast("long").alias("hamming")
-    ).where(F.col("hamming") <= HAM_MAX)
 
 
 Q08_SQL = (
@@ -759,13 +741,17 @@ def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no array verify pass).  The prefix-filter variant (overlap_join) keeps
     ~all of each 200-gram set at t=30, so its window ranks + verify join
     were pure overhead here.  Output and oracle unchanged.
-    100x-scale path: setsim.overlap_join_hybrid splits at a df threshold —
-    count-join for rare grams, signature-level pairing for stopword-like
-    hot grams (value-identical, tested) — switching here is a one-line
-    change once any gram's df² term dominates.
+    100x-scale path (wired, VERDICT r3 #3): setsim.overlap_join_hybrid
+    splits at a measured df threshold — count-join for rare grams,
+    signature-level pairing for stopword-like hot grams (value-identical,
+    tested in tests/test_setsim.py).  Its df census auto-falls back to the
+    plain count join when no gram is hot, so at bench scale the plan is
+    byte-identical to overlap_count_join plus one cheap isEmpty action,
+    while a df~n stopword gram at 100x data routes through the
+    sub-quadratic signature branch instead of a df² blowup.
     |A∪B| = n_a + n_b - n_inter exactly (distinct sets), matching the
     oracle's list_distinct(concat)."""
-    from sketch_spark.operators.setsim import overlap_count_join
+    from sketch_spark.operators.setsim import overlap_join_hybrid
 
     g = _memo(
         ("grams", id(spark), sf_dir),
@@ -775,7 +761,7 @@ def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(T.char_ngrams_col(F.col("text"), NG)).alias("grams"),
         ),
     )
-    pairs = overlap_count_join(g, "doc_id", "grams", NG_MIN_INTER, block_cols=("source",))
+    pairs = overlap_join_hybrid(g, "doc_id", "grams", NG_MIN_INTER, block_cols=("source",))
     return pairs.select(
         F.col("a").alias("a_doc"),
         F.col("b").alias("b_doc"),

@@ -114,6 +114,38 @@ class CheckpointManager:
         )
         return self.spark.read.parquet(data)
 
+    def timed(self, stage: str, fn: Callable[[], object]) -> object:
+        """Time a non-checkpointed block (driver-side actions, CC loop) as a
+        named stage so the wall is fully attributed in the log — VERDICT r3
+        #5: untimed CC/counter actions hid 40% of a bench regression."""
+        import time
+
+        t0 = time.time()
+        out = fn()
+        self.log.append(
+            {"stage": stage, "resumed": False,
+             "seconds": round(time.time() - t0, 3)}
+        )
+        return out
+
+    def rows_of(self, stage: str) -> int | None:
+        """Row count of a completed stage, from the in-memory log or (on
+        resume) the manifest — free metadata used for provably-safe plan
+        shortcuts (e.g. skipping the hot-bucket census when no bucket can
+        possibly reach the threshold)."""
+        for e in reversed(self.log):
+            if e["stage"] == stage and "rows" in e:
+                return int(e["rows"])
+        if self.enabled:
+            _, manifest = self._paths(stage)
+            if os.path.exists(manifest):
+                try:
+                    with open(manifest) as f:
+                        return int(json.load(f)["rows"])
+                except (json.JSONDecodeError, OSError, KeyError, ValueError):
+                    return None
+        return None
+
     def manifests(self) -> dict[str, dict]:
         out = {}
         if not self.enabled or not os.path.isdir(self.root):
