@@ -42,10 +42,15 @@ class DedupConfig:
     rpr: int = 2  # registers per band -> m/rpr bands
     bucket_cap: int = 64
     tau_pre: float = 0.2  # MinHash candidate pre-filter threshold
-    use_minhash_prefilter: bool = False  # exact verify is cheaper on bounded
-    # convs (array_intersect is a native expression; zip_with over 128
-    # registers is an interpreted HOF) — enable the pre-filter only when
-    # shingle sets are too large to carry to the verify join
+    use_minhash_prefilter: bool | None = None  # None = auto (see below)
+    # Exact verify is cheaper on bounded convs (array_intersect is a native
+    # expression; zip_with over 128 registers is an interpreted HOF); the
+    # pre-filter pays only when the exact shingle arrays become the
+    # dominant verify byte stream (VERDICT r3 #4).  Auto policy: enable
+    # when median-shingle-set-size x candidate-count exceeds
+    # prefilter_threshold — both numbers are free (one approx-percentile
+    # agg on the persisted conv table; cands row count from the stage log).
+    prefilter_threshold: float = 1.0e9  # measured: see BENCH/BASELINE.md §7
     tau: float = 0.5  # exact-Jaccard acceptance threshold
     substring_L: int = 200
     substring_k: int = 50
@@ -143,6 +148,7 @@ class DedupPipeline:
         self.spark = spark
         self.cfg = cfg or DedupConfig()
         self.counters: dict[str, int] = {}
+        self.policy: dict = {}  # auto-decisions taken this run (lineage)
         self.ckpt = CheckpointManager(
             spark,
             checkpoint_dir or "",
@@ -192,7 +198,19 @@ class DedupPipeline:
 
         def build():
             pre = cands
-            if cfg.use_minhash_prefilter:
+            use_pref = cfg.use_minhash_prefilter
+            if use_pref is None:
+                med = conv.agg(
+                    F.expr("approx_percentile(size(shingles), 0.5)")
+                ).collect()[0][0] or 0
+                cn = self.ckpt.rows_of("cands") or 0
+                use_pref = float(med) * float(cn) > cfg.prefilter_threshold
+                self.policy = {
+                    "median_shingles": int(med),
+                    "candidate_pairs": int(cn),
+                    "minhash_prefilter": bool(use_pref),
+                }
+            if use_pref:
                 pre = lsh.verify_pairs(
                     cands, sig, "cid", "sig", b_bits=64 - cfg.p, tau=cfg.tau_pre
                 )

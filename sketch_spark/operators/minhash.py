@@ -485,13 +485,26 @@ def prob_minhash_np(
     id_col: str = "conv_id",
     m: int = 64,
     out_col: str = "psig",
+    weight_field: str = "cnt",
 ) -> DataFrame:
-    """(id, array<struct<h long, cnt long>>) -> (id, psig array<long> of m
-    winning element hashes).  One numpy batch per Arrow chunk; deterministic
-    (WangHash-derived uniforms), so equal weighted sets give equal
-    signatures.  Empty/null rows -> null signature."""
+    """(id, array<struct<h long, <weight_field> long|double>>) -> (id, psig
+    array<long> of m winning element hashes).  ProbMinHash over ARBITRARY
+    POSITIVE FLOAT weights (reference bmh.h:439-701 pmh2; the integer `cnt`
+    schema is the special case): register j's winner is argmin_e
+    -ln(u_ej)/w_e, a per-register exponential race each element wins with
+    probability w_e / W, giving the probability-Jaccard collision law
+    P(sig_A[j] == sig_B[j]) = J_P(A, B) for any positive real weights —
+    exactly what pmh2 computes; its lazy exponential-spacing evaluation is
+    a sequential-machine work bound that the Arrow-vectorized batch
+    replaces (elements stream through in blocks with a running min, so
+    per-row temporaries stay bounded regardless of set size).
+
+    One numpy batch per Arrow chunk; deterministic (WangHash-derived
+    uniforms), so equal weighted sets give equal signatures.  Empty/null
+    rows -> null signature."""
     id_type = df.schema[id_col].dataType.simpleString()
     golden = np.uint64(_PMH_GOLDEN)
+    BLOCK = 8192  # elements per streaming block (bounds the m x n matrix)
 
     def gen(batches):
         js = np.arange(m, dtype=np.uint64)
@@ -502,14 +515,22 @@ def prob_minhash_np(
                     out.append(None)
                     continue
                 hs = np.array([e["h"] for e in row], dtype=np.int64).astype(np.uint64)
-                ws = np.array([e["cnt"] for e in row], dtype=np.float64)
-                with np.errstate(over="ignore"):
-                    mixed = wanghash_np(hs[:, None] + golden * js[None, :])
-                # uniform in (0, 1]: (hash + 1) / 2^64
-                u = (mixed.astype(np.float64) + 1.0) / 18446744073709551616.0
-                t = -np.log(u) / ws[:, None]
-                winners = hs[np.argmin(t, axis=0)]
-                out.append(winners.astype(np.int64).tolist())
+                ws = np.array([e[weight_field] for e in row], dtype=np.float64)
+                best_t = np.full(m, np.inf)
+                best_h = np.zeros(m, dtype=np.uint64)
+                for lo in range(0, hs.size, BLOCK):
+                    hb, wb = hs[lo : lo + BLOCK], ws[lo : lo + BLOCK]
+                    with np.errstate(over="ignore"):
+                        mixed = wanghash_np(hb[:, None] + golden * js[None, :])
+                    # uniform in (0, 1]: (hash + 1) / 2^64
+                    u = (mixed.astype(np.float64) + 1.0) / 18446744073709551616.0
+                    t = -np.log(u) / wb[:, None]
+                    am = np.argmin(t, axis=0)
+                    tmin = t[am, np.arange(m)]
+                    upd = tmin < best_t
+                    best_t[upd] = tmin[upd]
+                    best_h[upd] = hb[am[upd]]
+                out.append(best_h.astype(np.int64).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
 
     return df.select(id_col, minimizers_col).mapInPandas(

@@ -49,6 +49,24 @@ B8, A8, Q8 = 1.09, 0.08, 254
 B16, A16, Q16 = 1.0006, 0.001, 65534
 
 
+def optimal_ab(maxv: float, minv: float, *, q: float) -> tuple[float, float]:
+    """Fit SetSketch quantization parameters (a, b) so that register value
+    maxv maps to 0 and minv maps to q (reference
+    python/sketch_ds/__init__.py:21-36): the quantizer is
+    k = ceil(log_b(v / a)) clamped to [0, q], and with
+    b = (maxv/minv)^(1/q), a = maxv / b the dynamic range [minv, maxv]
+    exactly fills the q+1 quantization levels.  Anyone whose expected
+    per-register exponential draws fall outside the pinned B16/A16 range
+    (cardinalities far from the defaults' design point) refits with this.
+    Returns (a, b)."""
+    if maxv < minv:
+        minv, maxv = maxv, minv
+    if minv <= 0 or q <= 0:
+        raise ValueError("optimal_ab requires positive minv and q")
+    b = math.exp(math.log(maxv / minv) / q)
+    return maxv / b, b
+
+
 def _exp_draws(hs: np.ndarray, m: int) -> np.ndarray:
     """(k,) element hashes -> (k, m) Exp(1) draws, deterministic in
     (element, register)."""

@@ -212,6 +212,20 @@ def mih_candidate_hash_pairs(
     e = max_hamming // n_chunks
     bc = list(block_cols)
     bounds = [round(bits * c / n_chunks) for c in range(n_chunks + 1)]
+    # q*(floor(r/q)+1) > r always (r = a*q + s => q*(a+1) > r), so any
+    # n_chunks is exact; but small n_chunks explodes the probe enumeration
+    # C(bits/q, <=e) — refuse combinatorial plans instead of hanging.
+    from math import comb
+
+    n_entries = sum(
+        sum(comb(bounds[c + 1] - bounds[c], k) for k in range(e + 1))
+        for c in range(n_chunks)
+    )
+    if n_entries > 50_000:
+        raise ValueError(
+            f"multi-index enumeration too large ({n_entries} probe keys "
+            f"per hash at n_chunks={n_chunks}, e={e}); raise n_chunks"
+        )
 
     chunk_arr = F.array(
         *[

@@ -32,6 +32,78 @@ DEFAULT_K = 50  # k-gram size for rolling hashes
 
 _B = np.uint64(1000003)
 
+# ---------------------------------------------------------------------------
+# Per-WORKER buffer arena (VERDICT r3 next-round #4).  Each Spark task runs
+# in a reused Python worker process; the kernels below used to allocate
+# dozens of MB-scale numpy temporaries per task, which glibc serves via
+# mmap/munmap above the 128 KB threshold — every task re-faulted fresh pages
+# on this host's ~200 MB/s page-population path (BENCH/BASELINE.md §3b), the
+# measured cause of the substr stage's 32-core inversion.  The arena keeps
+# one named buffer per (role, shape, dtype) alive for the worker's lifetime;
+# kernel shapes are constant across tasks (fixed slab geometry, padded
+# tails), so after the first task every temporary is a warm-page reuse.
+# Workers are single-threaded (one task at a time per process), so a
+# module-level dict needs no locking.  All outputs that escape a kernel are
+# freshly allocated or caller-provided; only internal temporaries live here.
+# ---------------------------------------------------------------------------
+
+_ARENA: dict = {}
+
+
+def _buf(name: str, shape: tuple, dtype) -> np.ndarray:
+    """Named reusable buffer of an exact shape (uninitialized contents)."""
+    key = (name, shape, np.dtype(dtype).str)
+    a = _ARENA.get(key)
+    if a is None:
+        a = np.empty(shape, dtype=dtype)
+        _ARENA[key] = a
+    return a
+
+
+def _cap_buf(name: str, n: int, dtype) -> np.ndarray:
+    """Grow-only 1-D buffer; returns a length-n view."""
+    key = (name, np.dtype(dtype).str)
+    a = _ARENA.get(key)
+    if a is None or a.size < n:
+        cap = max(n, (a.size * 2) if a is not None else 0, 1 << 16)
+        a = np.empty(cap, dtype=dtype)
+        _ARENA[key] = a
+    return a[:n]
+
+
+def _pow_series(name: str, base: np.uint64, n: int) -> np.ndarray:
+    """First n powers base^0..base^(n-1) mod 2^64, cached grow-only."""
+    key = (name, "pow")
+    a = _ARENA.get(key)
+    have = a.size if a is not None else 0
+    if have < n:
+        cap = max(n, have * 2, 1 << 16)
+        new = np.empty(cap, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            if have == 0:
+                new[0] = np.uint64(1)
+                start = 1
+            else:
+                new[:have] = a
+                start = have
+            ext = np.full(cap - start, base, dtype=np.uint64)
+            np.cumprod(ext, out=ext)
+            np.multiply(ext, new[start - 1], out=ext)
+            new[start:] = ext
+        a = new
+        _ARENA[key] = a
+    return a[:n]
+
+
+def _arange(n: int) -> np.ndarray:
+    """First n of a cached int64 arange (read-only by convention)."""
+    key = ("arange", "i8")
+    a = _ARENA.get(key)
+    if a is None or a.size < n:
+        a = np.arange(max(n, 1 << 16), dtype=np.int64)
+        _ARENA[key] = a
+    return a[:n]
+
 
 # B is odd, hence invertible mod 2^64; Newton iteration for the inverse.
 def _inv_u64(b: np.uint64) -> np.uint64:
@@ -45,55 +117,63 @@ def _inv_u64(b: np.uint64) -> np.uint64:
 _BINV = _inv_u64(_B)
 
 
-def _kgram_hashes_codes(a: np.ndarray, k: int, chunk: int = 1 << 22) -> np.ndarray:
+def _kgram_hashes_codes(
+    a: np.ndarray, k: int, chunk: int = 1 << 22, out: np.ndarray | None = None
+) -> np.ndarray:
     """Rolling k-gram hashes, computed in overlapping chunks so peak
     temporary footprint stays ~100 MB regardless of input size.  The hash
     of a k-gram depends only on its CONTENT (see _kgram_hashes_seg), so a
     chunk overlapping the next by k-1 codes yields identical values —
     important on hosts where faulting fresh pages is far slower than
-    reusing warm ones (measured ~200 MB/s vs ~5 GB/s here; allocator
-    reuse across chunks sidesteps it)."""
+    reusing warm ones (measured ~200 MB/s vs ~5 GB/s here).  All internal
+    temporaries come from the per-worker arena; `out` (optional) receives
+    the hashes in place so the hot caller allocates nothing per batch."""
     n = a.size - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64)
-    if a.size <= chunk + k - 1:
-        return _kgram_hashes_seg(a, k)
-    parts = []
+    res = out[:n] if out is not None else np.empty(n, dtype=np.uint64)
     s = 0
     while s < n:
         e = min(a.size, s + chunk + k - 1)
-        parts.append(_kgram_hashes_seg(a[s:e], k))
+        cnt = min(chunk, n - s)
+        _kgram_hashes_seg(a[s:e], k, out=res[s : s + cnt])
         s += chunk
-    return np.concatenate(parts)
+    return res
 
 
-def _kgram_hashes_seg(a: np.ndarray, k: int) -> np.ndarray:
+def _kgram_hashes_seg(
+    a: np.ndarray, k: int, out: np.ndarray | None = None
+) -> np.ndarray:
     """Rolling polynomial hashes (mod 2^64) of all k-grams of a codepoint
     array, fully vectorized:  H[i] = B^(k-1) * B^i * (P[i+k] - P[i])  where
     P[t] = sum_{j<t} a[j] * Binv^j  (B odd => invertible mod 2^64).
     H[i] depends only on a[i:i+k] (the B^i cancels the Binv^i inside the
     prefix difference), so hashes computed over a CONCATENATION of many
     texts are identical to per-text hashes at the corresponding offsets —
-    what lets winnow_fingerprints run ONE pass per Arrow batch."""
-    a = a.astype(np.uint64)
+    what lets winnow_fingerprints run ONE pass per Arrow batch.
+    Power series are cached (deterministic); prefix/product temporaries are
+    arena buffers reused across tasks."""
     n = a.size - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        binv_pows = np.empty(a.size, dtype=np.uint64)
-        binv_pows[0] = np.uint64(1)
-        np.cumprod(np.full(a.size - 1, _BINV, dtype=np.uint64), out=binv_pows[1:])
-        prefix = np.zeros(a.size + 1, dtype=np.uint64)
-        np.cumsum(a * binv_pows, out=prefix[1:])
-        b_pows = np.empty(n, dtype=np.uint64)
-        b_pows[0] = np.uint64(1)
-        if n > 1:
-            np.cumprod(np.full(n - 1, _B, dtype=np.uint64), out=b_pows[1:])
-        bk1 = np.uint64(1)
-        for _ in range(k - 1):
-            bk1 = bk1 * _B
-        h = (prefix[k : k + n] - prefix[:n]) * b_pows * bk1
-    return h
+        if a.dtype != np.uint64:
+            # cast into a reused buffer (C-style wrap, same as .astype)
+            ac = _cap_buf("kg_cast", a.size, np.uint64)
+            np.copyto(ac, a, casting="unsafe")
+            a = ac
+        binv_pows = _pow_series("binv_pows", _BINV, a.size)
+        b_pows = _pow_series("b_pows", _B, n)
+        tmp = _cap_buf("kg_tmp", a.size, np.uint64)
+        np.multiply(a, binv_pows, out=tmp)
+        prefix = _cap_buf("kg_prefix", a.size + 1, np.uint64)
+        prefix[0] = np.uint64(0)
+        np.cumsum(tmp, out=prefix[1:])
+        res = out[:n] if out is not None else np.empty(n, dtype=np.uint64)
+        np.subtract(prefix[k : k + n], prefix[:n], out=res)
+        np.multiply(res, b_pows, out=res)
+        res *= np.uint64(pow(int(_B), k - 1, 1 << 64))
+    return res
 
 
 def _kgram_hashes(s: str, k: int) -> np.ndarray:
@@ -106,18 +186,27 @@ def _kgram_hashes(s: str, k: int) -> np.ndarray:
     return _kgram_hashes_codes(codes, k)
 
 
-def window_argmin(v: np.ndarray, w: int, slab_blocks: int = 2048) -> np.ndarray:
+def window_argmin(
+    v: np.ndarray, w: int, slab_blocks: int = 2048,
+    out: np.ndarray | None = None,
+) -> np.ndarray:
     """Leftmost argmin of every w-window of v in O(n), computed in slabs.
 
     Each slab covers slab_blocks w-sized blocks plus a w-1 overlap: a
     window's argmin depends only on the w values it covers, so running the
     block kernel on the overlapping segment and keeping the first
-    slab_blocks*w window starts reproduces the global answer exactly,
-    while temporaries stay ~30 MB and get REUSED across slabs (fresh-page
-    population on this host runs ~20x slower than warm reuse; one big
-    pass allocated several GB of one-shot temporaries and cost 60-90 s
-    per first call in every fresh Python worker).
+    slab_blocks*w window starts reproduces the global answer exactly.  The
+    final partial slab is padded (with the dtype-max sentinel, into a
+    reused buffer) to the full slab geometry, so every kernel invocation
+    sees IDENTICAL shapes and every temporary is a per-worker arena buffer
+    reused across slabs AND across tasks — fresh-page population on this
+    host runs ~20x slower than warm reuse (BENCH/BASELINE.md §3b); the
+    earlier per-call allocations were the measured term behind the substr
+    stage's 32-core inversion.  Padding is correct because kept windows
+    never read padded positions (the last kept window ends at the last
+    real element) and ties against the sentinel cannot arise inside them.
 
+    `out` (optional, int64, size >= n-w+1) receives the result in place.
     Returns absolute indices into v; output size n - w + 1."""
     if not np.issubdtype(v.dtype, np.integer):
         raise TypeError(f"window_argmin requires an integer dtype, got {v.dtype}")
@@ -127,30 +216,50 @@ def window_argmin(v: np.ndarray, w: int, slab_blocks: int = 2048) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     S = slab_blocks * w
     if n <= S + w - 1:
-        return _window_argmin_seg(v, w)
-    outs = []
+        res = out[:nw] if out is not None else np.empty(nw, dtype=np.int64)
+        _window_argmin_seg(v, w, out=res)
+        return res
+    res = out[:nw] if out is not None else np.empty(nw, dtype=np.int64)
+    INF = np.iinfo(v.dtype).max
+    seg_len = S + w - 1
     s = 0
     while s < nw:
-        e = min(n, s + S + w - 1)
-        seg = _window_argmin_seg(v[s:e], w)
+        e = min(n, s + seg_len)
         take = min(S, nw - s)
-        outs.append(seg[:take] + s)
+        if e - s == seg_len:
+            seg_view = v[s:e]
+        else:
+            pad = _buf("wam_padseg", (seg_len,), v.dtype)
+            pad[: e - s] = v[s:e]
+            pad[e - s :] = INF
+            seg_view = pad
+        part = res[s : s + take]
+        _window_argmin_seg(seg_view, w, out=part, n_keep=take)
+        part += s
         s += S
-    return np.concatenate(outs)
+    return res
 
 
-def _window_argmin_seg(v: np.ndarray, w: int) -> np.ndarray:
+def _window_argmin_seg(
+    v: np.ndarray, w: int, out: np.ndarray | None = None,
+    n_keep: int | None = None,
+) -> np.ndarray:
     """One-segment two-pass block decomposition (the sliding-window-minimum
     prefix/suffix trick): split v into w-sized blocks, compute per-block
     prefix and suffix argmins with vectorized scans, and stitch window i
     from the suffix of its left block and the prefix of its right block.
     Bit-identical to np.argmin(sliding_window_view(v, w), axis=1) + arange
     (property-tested with heavy ties) but ~80x faster at w=151: the naive
-    form is O(n*w) comparisons and dominated the whole pipeline's CPU."""
+    form is O(n*w) comparisons and dominated the whole pipeline's CPU.
+
+    Every temporary is an arena buffer keyed by (nblocks, w, dtype) — the
+    slab driver always presents the same geometry, so across tasks in one
+    worker this kernel allocates nothing.  `out`/`n_keep`: write only the
+    first n_keep window results into out (the slab driver's kept prefix).
+    """
     n = v.size
     nw = n - w + 1
     nblocks = -(-n // w)
-    pad = nblocks * w - n
     # sentinel = dtype max (ADVICE r2: was a hard-coded uint64 constant that
     # overflowed np.full for signed inputs).  Correctness with max instead of
     # +inf: padding can only tie a real element, never beat it, and both
@@ -158,43 +267,84 @@ def _window_argmin_seg(v: np.ndarray, w: int) -> np.ndarray:
     # sentinel only needs "nothing is strictly smaller before index 0",
     # which max satisfies together with the explicit is_new[:, 0] = True.
     INF = np.iinfo(v.dtype).max
-    vp = np.concatenate([v, np.full(pad, INF, dtype=v.dtype)]).reshape(nblocks, w)
-    col = np.broadcast_to(np.arange(w, dtype=np.int64), (nblocks, w))
+    shp = (nblocks, w)
+    dt = v.dtype
+    vp = _buf("was_vp", shp, dt)
+    vpf = vp.reshape(-1)
+    vpf[:n] = v
+    vpf[n:] = INF
+    col = np.broadcast_to(_arange(w), shp)
 
     # prefix argmin (leftmost: new argmin only on strict decrease)
-    pmin = np.minimum.accumulate(vp, axis=1)
-    prev = np.empty_like(pmin)
+    pmin = _buf("was_pmin", shp, dt)
+    np.minimum.accumulate(vp, axis=1, out=pmin)
+    prev = _buf("was_prev", shp, dt)
     prev[:, 0] = INF
     prev[:, 1:] = pmin[:, :-1]
-    is_new = vp < prev
-    is_new[:, 0] = True
-    pam = np.maximum.accumulate(np.where(is_new, col, -1), axis=1)
+    notnew = _buf("was_notnew", shp, np.bool_)
+    np.greater_equal(vp, prev, out=notnew)  # NOT (vp < prev)
+    cand = _buf("was_cand", shp, np.int64)
+    np.copyto(cand, col)
+    cand[notnew] = -1
+    cand[:, 0] = 0  # is_new[:, 0] = True
+    pam = _buf("was_pam", shp, np.int64)
+    np.maximum.accumulate(cand, axis=1, out=pam)
 
     # suffix argmin (leftmost among minima: reversed scan updating on <=,
-    # so earlier-in-original wins ties)
+    # so earlier-in-original wins ties); pmin/prev buffers are dead here
+    # and reused for the reversed scans
     vr = vp[:, ::-1]
-    rmin = np.minimum.accumulate(vr, axis=1)
-    prevr = np.empty_like(rmin)
+    rmin = pmin
+    np.minimum.accumulate(vr, axis=1, out=rmin)
+    prevr = prev
     prevr[:, 0] = INF
     prevr[:, 1:] = rmin[:, :-1]
-    is_newr = vr <= prevr
-    is_newr[:, 0] = True
-    samr = np.maximum.accumulate(np.where(is_newr, col, -1), axis=1)
-    sam = (w - 1 - samr)[:, ::-1]
+    np.greater(vr, prevr, out=notnew)  # NOT (vr <= prevr)
+    np.copyto(cand, col)
+    cand[notnew] = -1
+    cand[:, 0] = 0
+    samr = _buf("was_samr", shp, np.int64)
+    np.maximum.accumulate(cand, axis=1, out=samr)
+    sam = _buf("was_sam", shp, np.int64)
+    np.subtract(w - 1, samr[:, ::-1], out=sam)
 
-    off = np.arange(nblocks, dtype=np.int64)[:, None] * w
-    flat_pam = (pam + off).reshape(-1)
-    flat_sam = (sam + off).reshape(-1)
-    vflat = vp.reshape(-1)
+    off = _arange(nblocks)[:, None] * w  # small (nblocks,1) temp
+    np.add(pam, off, out=pam)
+    np.add(sam, off, out=sam)
+    flat_pam = pam.reshape(-1)
+    flat_sam = sam.reshape(-1)
+    vflat = vpf
 
-    i = np.arange(nw, dtype=np.int64)
-    j = i + w - 1
-    ia = flat_sam[i]  # leftmost argmin of v[i .. end of i's block]
-    ib = flat_pam[j]  # leftmost argmin of v[start of j's block .. j]
-    same_block = (i // w) == (j // w)
-    return np.where(
-        same_block, ia, np.where(vflat[ia] <= vflat[ib], ia, ib)
-    )
+    keep = nw if n_keep is None else n_keep
+    # window starts are contiguous 0..nw-1, so the index gathers of the
+    # original formulation are plain views: ia = flat_sam[:nw],
+    # ib = flat_pam[w-1 : w-1+nw]
+    ia = flat_sam[:keep]  # leftmost argmin of v[i .. end of i's block]
+    ib = flat_pam[w - 1 : w - 1 + keep]  # leftmost argmin of block-start .. j
+    va = _cap_buf("was_va", keep, dt)
+    vb = _cap_buf("was_vb", keep, dt)
+    np.take(vflat, ia, out=va)
+    np.take(vflat, ib, out=vb)
+    pick_a = _cap_buf("was_pick", keep, np.bool_)
+    np.less_equal(va, vb, out=pick_a)
+    # same-block windows (i//w == (i+w-1)//w) must take ia regardless
+    np.logical_or(pick_a, _same_block(keep, w), out=pick_a)
+    res = out[:keep] if out is not None else np.empty(keep, dtype=np.int64)
+    np.copyto(res, ib)
+    np.copyto(res, ia, where=pick_a)
+    return res
+
+
+def _same_block(nw: int, w: int) -> np.ndarray:
+    """Cached boolean mask: window i lies entirely inside one w-block."""
+    key = ("same_block", w)
+    a = _ARENA.get(key)
+    if a is None or a.size < nw:
+        size = max(nw, 1 << 16)
+        i = _arange(size)
+        a = (i // w) == ((i + w - 1) // w)
+        _ARENA[key] = a
+    return a[:nw]
 
 
 def winnow_fingerprints(
@@ -229,13 +379,30 @@ def winnow_fingerprints(
                     for _, t in convs
                 ]
                 lens = np.fromiter((c.size for c in codes), dtype=np.int64)
-                allh = _kgram_hashes_codes(np.concatenate(codes), k)
+                total = int(lens.sum())
+                # batch concat + hash + winnow all land in per-worker arena
+                # buffers: these are the largest per-batch arrays (tens of
+                # MB), reallocated per batch before — pure page-population
+                # tax on this host (see _ARENA note)
+                cat = _cap_buf("wf_codes", total, np.uint32)
+                o = 0
+                for c in codes:
+                    cat[o : o + c.size] = c
+                    o += c.size
+                allh = _kgram_hashes_codes(
+                    cat, k, out=_cap_buf("wf_allh", max(total - k + 1, 1), np.uint64)
+                )
                 starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
                 # ONE O(n) window-argmin pass over the whole batch: every
                 # in-text window reads only in-text hash positions, so the
                 # global pass selects exactly what per-text passes would
                 # (boundary-mixed hashes sit outside every evaluated window).
-                wam = window_argmin(allh, w)
+                nwam = allh.size - w + 1
+                wam = window_argmin(
+                    allh, w,
+                    out=_cap_buf("wf_wam", max(nwam, 1), np.int64)
+                    if nwam > 0 else None,
+                )
                 for (cid, _), st, ln in zip(convs, starts, lens):
                     n = int(ln) - k + 1
                     if n <= 0:
@@ -450,6 +617,11 @@ def substring_candidate_pairs(
     )
 
 
+def _buf2(name: str, m: int, W: int, dtype) -> np.ndarray:
+    """2-D view over a grow-only 1-D arena buffer (shape varies per call)."""
+    return _cap_buf(name, m * W, dtype).reshape(m, W)
+
+
 def _witness_spans(
     flat: list[tuple[int, str, str, int, int]], chunk: int = 4096
 ) -> np.ndarray:
@@ -474,8 +646,12 @@ def _witness_spans(
         la = np.fromiter((len(r[1]) for r in part), dtype=np.int64, count=m)
         lb = np.fromiter((len(r[2]) for r in part), dtype=np.int64, count=m)
         W = int(max(la.max(), lb.max(), 1))
-        A = np.full((m, W), PAD_A, dtype=np.uint32)
-        B = np.full((m, W), PAD_B, dtype=np.uint32)
+        # all (m, W) temporaries are arena views (see _ARENA note): the
+        # equality matrices here were ~50 MB of fresh allocations per chunk
+        A = _buf2("ws_A", m, W, np.uint32)
+        B = _buf2("ws_B", m, W, np.uint32)
+        A[...] = PAD_A
+        B[...] = PAD_B
         for i, (_, sa, sb, _, _) in enumerate(part):
             if sa:
                 A[i, : len(sa)] = np.frombuffer(
@@ -487,21 +663,39 @@ def _witness_spans(
                 )
         pa = np.fromiter((r[3] for r in part), dtype=np.int64, count=m)[:, None]
         pb = np.fromiter((r[4] for r in part), dtype=np.int64, count=m)[:, None]
-        t = np.arange(W, dtype=np.int64)[None, :]
-        ridx = np.arange(m)[:, None]
+        t = _arange(W)[None, :]
+        rowoff = (_arange(m) * W)[:, None]  # flat-gather row offsets
+
+        def _gather(mat, idx, name):
+            g = _buf2(name, m, W, np.uint32)
+            np.take(mat.reshape(-1), idx, out=g)
+            return g
+
+        idxa = _buf2("ws_idxa", m, W, np.int64)
+        idxb = _buf2("ws_idxb", m, W, np.int64)
+        mism = _buf2("ws_mism", m, W, np.bool_)
+        bnd = _buf2("ws_bnd", m, W, np.bool_)
+
         # right extension: first t with A[pa+t] != B[pb+t] (or out of range)
-        ia = np.minimum(pa + t, W - 1)
-        ib = np.minimum(pb + t, W - 1)
-        right_eq = (
-            (A[ridx, ia] == B[ridx, ib])
-            & (pa + t < la[:, None])
-            & (pb + t < lb[:, None])
-        )
-        r_run = np.argmax(~right_eq, axis=1)
+        np.add(pa, t, out=idxa)
+        np.minimum(idxa, W - 1, out=idxa)
+        np.add(idxa, rowoff, out=idxa)
+        np.add(pb, t, out=idxb)
+        np.minimum(idxb, W - 1, out=idxb)
+        np.add(idxb, rowoff, out=idxb)
+        ga = _gather(A, idxa, "ws_ga")
+        gb = _gather(B, idxb, "ws_gb")
+        np.equal(ga, gb, out=mism)  # holds EQ for now
+        np.less(t, la[:, None] - pa, out=bnd)  # pa + t < la
+        np.logical_and(mism, bnd, out=mism)
+        np.less(t, lb[:, None] - pb, out=bnd)  # pb + t < lb
+        np.logical_and(mism, bnd, out=mism)
         # all-True row (both segments match through every in-bounds t, e.g.
         # identical full-width segments at pos 0): argmax(all-False) is 0,
         # but the loop semantics give the full in-bounds run
-        full = right_eq.all(axis=1)
+        full = mism.all(axis=1)
+        np.logical_not(mism, out=mism)  # now holds first-mismatch indicator
+        r_run = np.argmax(mism, axis=1)
         if full.any():
             r_run = np.where(
                 full, np.minimum(la - pa.ravel(), lb - pb.ravel()), r_run
@@ -509,12 +703,21 @@ def _witness_spans(
         # left side always has a False within range (the bound fails at
         # t = pa <= W-1), so argmax is safe there
         # left extension: first t with A[pa-1-t] != B[pb-1-t] (or t >= pa/pb)
-        ja = np.maximum(pa - 1 - t, 0)
-        jb = np.maximum(pb - 1 - t, 0)
-        left_eq = (
-            (A[ridx, ja] == B[ridx, jb]) & (pa - 1 - t >= 0) & (pb - 1 - t >= 0)
-        )
-        l_run = np.argmax(~left_eq, axis=1)
+        np.subtract(pa - 1, t, out=idxa)
+        np.maximum(idxa, 0, out=idxa)
+        np.add(idxa, rowoff, out=idxa)
+        np.subtract(pb - 1, t, out=idxb)
+        np.maximum(idxb, 0, out=idxb)
+        np.add(idxb, rowoff, out=idxb)
+        ga = _gather(A, idxa, "ws_ga")
+        gb = _gather(B, idxb, "ws_gb")
+        np.equal(ga, gb, out=mism)
+        np.less(t, pa, out=bnd)  # pa - 1 - t >= 0
+        np.logical_and(mism, bnd, out=mism)
+        np.less(t, pb, out=bnd)  # pb - 1 - t >= 0
+        np.logical_and(mism, bnd, out=mism)
+        np.logical_not(mism, out=mism)
+        l_run = np.argmax(mism, axis=1)
         spans[lo : lo + m] = l_run + r_run
     return spans
 

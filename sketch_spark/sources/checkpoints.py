@@ -123,7 +123,7 @@ class CheckpointManager:
         t0 = time.time()
         out = fn()
         self.log.append(
-            {"stage": stage, "resumed": False,
+            {"stage": stage, "resumed": False, "timed_only": True,
              "seconds": round(time.time() - t0, 3)}
         )
         return out

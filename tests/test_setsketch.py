@@ -146,3 +146,35 @@ def test_jmle_jaccard():
     true_j = overlap / (2 * n - overlap)
     est = SS.jmle_jaccard_py(gt, lt, m, float(n), float(n), SS.B16)
     assert abs(est - true_j) < 0.06, (est, true_j)
+
+
+def test_optimal_ab_fits_range(spark):
+    """optimal_ab (reference python/sketch_ds/__init__.py:21-36): fitted
+    (a, b) map maxv to register 0 and minv to register q under the
+    quantizer K = clamp(floor(1 - log_b(x/a)), 0, q+1), reproduce the
+    reference formula exactly, and recover the pinned ss.cpp defaults from
+    their own design range."""
+    import math
+
+    maxv, minv, q = 37.5, 3.2e-7, 254
+    a, b = SS.optimal_ab(maxv, minv, q=q)
+    # reference formula parity (b = exp(ln(maxv/minv)/q), a = maxv/b)
+    assert b == pytest.approx(math.exp(math.log(maxv / minv) / q))
+    assert a == pytest.approx(maxv / b)
+    # mapping property through the engine's own quantizer
+    df = spark.createDataFrame([([maxv, minv],)], "regs array<double>")
+    ks = df.select(
+        SS.setsketch_quantize_col(F.col("regs"), b=b, a=a, q=q).alias("k")
+    ).collect()[0].k
+    # minv sits exactly on the last quantization edge; float rounding of
+    # log_b may tip the floor one level either way (the reference's claim
+    # is the idealized real-arithmetic one)
+    assert ks[0] == 0 and ks[1] in (q - 1, q), ks
+    # swapped-argument tolerance (reference swaps internally)
+    assert SS.optimal_ab(minv, maxv, q=q) == pytest.approx((a, b))
+    # defaults round-trip: the B16/A16 design range refits to B16/A16
+    dmax = SS.A16 * SS.B16
+    dmin = SS.A16 * SS.B16 ** (1 - SS.Q16)
+    a16, b16 = SS.optimal_ab(dmax, dmin, q=SS.Q16)
+    assert b16 == pytest.approx(SS.B16, rel=1e-9)
+    assert a16 == pytest.approx(SS.A16, rel=1e-9)

@@ -271,6 +271,45 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert r2 >= 0.4, r2
 
 
+def test_ivf_auto_scale_params_recall(spark):
+    """Scale parameterization gate (VERDICT r3 #6): n_cells=None applies
+    the sqrt(n) rule, training samples 64x cells, and recall@10 at
+    n_probe=4 clears 0.9 on a clustered synthetic (the pytest-sized mirror
+    of BENCH/ivf_recall.py's 10^6-vector curve)."""
+    import numpy as np
+    import pandas as pd
+
+    n, dim, k = 20_000, 16, 10
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(50, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.integers(0, 50, n)] + 0.15 * rng.normal(size=(n, dim))
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    q_ids = np.arange(16) * (n // 16)
+    sims = x[q_ids] @ x.T
+    truth = {}
+    for qi, qid in enumerate(q_ids):
+        s = sims[qi].copy()
+        s[qid] = -np.inf
+        truth[int(qid)] = set(np.argpartition(-s, k)[:k].tolist())
+
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": list(x.astype(np.float32))}
+    )
+    corpus = spark.createDataFrame(pdf)
+    queries = corpus.where(F.col("vec_id").isin([int(i) for i in q_ids]))
+    assert ann.ivf_n_cells_for(n) == round(n ** 0.5)
+    got = ann.ivf_topk(
+        corpus, queries, k=k, n_cells=None, n_probe=4, seed=5
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(int(r.q_id), set()).add(int(r.n_id))
+    rec = sum(len(by_q.get(q, set()) & t) / k for q, t in truth.items()) / len(truth)
+    assert rec >= 0.9, rec
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media(spark, n=48)
     feats = multimodal.extract_features(media, fake=True)

@@ -60,6 +60,82 @@ def test_prob_minhash_disjoint_never_collides(spark):
     assert sum(1 for x, y in zip(got["a"], got["d"]) if x == y) == 0
 
 
+AF = [(101, 2.75), (202, 0.31), (303, 1.9), (404, 5.25), (505, 0.04)]
+BF = [(101, 0.9), (202, 0.31), (303, 4.4), (606, 2.2)]
+
+
+def test_prob_minhash_float_weights_collision_law(spark):
+    """pmh2 parity (bmh.h:439-701): arbitrary positive FLOAT weights, same
+    probability-Jaccard collision law, mirroring bagminhashtest.cpp's
+    planted weighted truth."""
+    m = 2048
+    df = spark.createDataFrame(
+        [
+            ("a", [{"h": h, "w": w} for h, w in AF]),
+            ("b", [{"h": h, "w": w} for h, w in BF]),
+        ],
+        "conv_id string, minimizers array<struct<h long, w double>>",
+    )
+    got = {
+        r.conv_id: r.psig
+        for r in MH.prob_minhash_np(df, m=m, weight_field="w").collect()
+    }
+    frac = sum(1 for x, y in zip(got["a"], got["b"]) if x == y) / m
+    jp = MH.prob_jaccard_py(AF, BF)
+    sigma = (jp * (1 - jp) / m) ** 0.5
+    assert abs(frac - jp) <= 3 * sigma + 1e-9, (frac, jp)
+
+
+def test_prob_minhash_float_scale_invariance(spark):
+    """J_P is scale-free: multiplying every weight by a constant must give
+    the IDENTICAL signature (the exponential race only sees ratios...
+    almost: t scales by 1/c uniformly, so argmins are unchanged)."""
+    df = spark.createDataFrame(
+        [
+            ("x", [{"h": h, "w": w} for h, w in AF]),
+            ("y", [{"h": h, "w": w * 8.0} for h, w in AF]),
+        ],
+        "conv_id string, minimizers array<struct<h long, w double>>",
+    )
+    got = {
+        r.conv_id: r.psig
+        for r in MH.prob_minhash_np(df, m=256, weight_field="w").collect()
+    }
+    assert got["x"] == got["y"]
+
+
+def test_prob_minhash_blockwise_matches_global(spark):
+    """The streaming-block running min must equal the one-shot matrix
+    argmin (ties break to the earliest element in both)."""
+    import sketch_spark.operators.minhash as mh_mod
+
+    rng = np.random.default_rng(11)
+    elems = [
+        {"h": int(h), "w": float(w)}
+        for h, w in zip(
+            rng.integers(0, 2**60, 300), rng.uniform(0.01, 9.0, 300)
+        )
+    ]
+    df = spark.createDataFrame(
+        [("z", elems)], "conv_id string, minimizers array<struct<h long, w double>>"
+    )
+    full = {
+        r.conv_id: r.psig
+        for r in MH.prob_minhash_np(df, m=128, weight_field="w").collect()
+    }
+    # numpy oracle: one-shot full-matrix argmin over the same clocks
+    golden = np.uint64(mh_mod._PMH_GOLDEN)
+    hs = np.array([e["h"] for e in elems], dtype=np.int64).astype(np.uint64)
+    ws = np.array([e["w"] for e in elems])
+    js = np.arange(128, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = mh_mod.wanghash_np(hs[:, None] + golden * js[None, :])
+    u = (mixed.astype(np.float64) + 1.0) / 18446744073709551616.0
+    t = -np.log(u) / ws[:, None]
+    want = hs[np.argmin(t, axis=0)].astype(np.int64).tolist()
+    assert full["z"] == want
+
+
 def test_prob_jaccard_py_bounds():
     jp = MH.prob_jaccard_py(A, B)
     jw = MH.weighted_jaccard_py(A, B)
