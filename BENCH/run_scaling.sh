@@ -10,6 +10,17 @@
 # starves per-task execution memory and measures spill, not scaling —
 # measured: local[32] @ 16g = 191.8 s with cands at 107.7 s vs
 # local[32] @ 64g = 144.6 s with cands at 46.7 s, identical counters.
+# NOTE (post-campaign, BENCH/diag_c32.json): at scale-1200 the OPPOSITE
+# trade was later measured — local[32] with a 16 GiB pinned heap ran
+# 1.49x FASTER than warm 64 GiB (502.2 s cold vs 747.8 s warm), because
+# a large pre-touched resident heap pushes this host past its reclaim
+# boundary (BASELINE.md §3b).  bench.py therefore caps ITS heap at
+# 16 GiB; this campaign script deliberately keeps the 2 GiB/core model
+# so every jsonl line remains comparable with the earlier entries —
+# re-measuring the whole series under a new heap model costs more than
+# the divergence is worth.  The two heap models are both recorded in
+# their artifacts (mem is derivable from cpus here; bench.py logs its
+# cap in its own comment).
 # Floor: at low parallelism this ONE JVM holds the whole cached input
 # that a real small cluster still spreads across full-memory executor
 # nodes — local[2] @ 4g dies outright at scale 1200; and giving the

