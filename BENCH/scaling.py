@@ -146,6 +146,11 @@ def main() -> None:
     # a long-running cluster executor never sees; the warmed second run is
     # the number that models one.  Counters are asserted identical.
     repeats = 2 if os.environ.get("SCALING_REPEAT", "0") == "1" else 1
+    # SCALING_PREFILTER=on|off forces the verify-stage MinHash pre-filter
+    # both ways at the same scale for the crossover measurement
+    # (BENCH/BASELINE.md §7b); unset = the DedupConfig auto policy.
+    pf = os.environ.get("SCALING_PREFILTER")
+    cfg_kw = {} if pf is None else {"use_minhash_prefilter": pf == "on"}
     walls, stage_logs = [], []
     pipe = None
     for r in range(repeats):
@@ -156,7 +161,7 @@ def main() -> None:
             t.count()
         t0 = time.time()
         prev_counters = pipe.counters if pipe else None
-        pipe = DedupPipeline(spark, DedupConfig())
+        pipe = DedupPipeline(spark, DedupConfig(**cfg_kw))
         out = pipe.run(t)
         out["clusters"].count()
         walls.append(round(time.time() - t0, 2))
@@ -169,6 +174,19 @@ def main() -> None:
         if os.environ.get("SCALING_RECALL", "0") == "1"
         else {}
     )
+    # self-describing record (round-4): wall_sec is the WARM median-of-one
+    # under SCALING_REPEAT (cold_walls holds the cold pass); heap + code
+    # rev disambiguate entries measured under different kernels/heap
+    # models in the same append-only file.
+    import subprocess
+
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(__file__),
+        ).stdout.strip()
+    except OSError:
+        rev = ""
     print(
         json.dumps(
             {
@@ -176,11 +194,15 @@ def main() -> None:
                 "scale": scale,
                 "turns": n_turns,
                 "wall_sec": wall,
+                "protocol": "repeat-warm" if repeats > 1 else "single-run-cold",
+                "heap": os.environ.get("SPARK_DRIVER_MEM", ""),
+                "rev": rev,
                 "turns_per_sec": round(n_turns / wall, 1),
                 "stages": stage_logs[-1],
                 "cold_walls": walls[:-1],
                 "cold_stages": stage_logs[:-1],
                 "counters": pipe.counters,
+                "policy": pipe.policy or ({"minhash_prefilter_forced": pf} if pf else {}),
                 **rec,
             }
         )
