@@ -3,9 +3,17 @@
 
 Single source of truth: every throughput/efficiency figure quoted in
 BENCH/BASELINE.md must appear in (or be computed here from) the jsonl.
-Prints a markdown fragment with medians + ranges per (cpus, scale) group,
-strong-scaling efficiencies from those medians, and the weak-scaling pairs.
-Run after BENCH/run_scaling.sh.
+Prints a markdown fragment with medians + ranges per (series, cpus, scale)
+group, strong-scaling efficiencies from those medians, and the weak-scaling
+pairs.  Run after the run_scaling*.sh campaign scripts.
+
+Series: the jsonl is append-only across rounds; round-4 re-measured the key
+(cpus, scale) points under the rewritten winnowing/verify kernels and the
+auto verify-prefilter policy, which changes both walls and (at scale >=
+1200) the verified_pairs counter — so entries are grouped into series by
+their recorded code rev ("r3" legacy lines carry none) and efficiencies are
+only ever computed WITHIN one series.  Counter identity is asserted within
+(scale, series), not across series.
 """
 
 from __future__ import annotations
@@ -25,78 +33,104 @@ def load(path: str = "BENCH/scaling_results.jsonl"):
     return rows
 
 
+def series_of(r: dict) -> str:
+    # legacy (round-3 campaign) lines carry no rev; every round-4+ line does
+    if not r.get("rev"):
+        return "r3"
+    if r.get("policy", {}).get("minhash_prefilter_forced"):
+        return f"r4-pf{r['policy']['minhash_prefilter_forced']}"
+    return "r4"
+
+
 def main() -> None:
     rows = load(sys.argv[1] if len(sys.argv) > 1 else "BENCH/scaling_results.jsonl")
-    groups: dict[tuple[int, int], list[dict]] = {}
+    groups: dict[tuple[str, int, int], list[dict]] = {}
     for r in rows:
-        groups.setdefault((r["cpus"], r["scale"]), []).append(r)
+        groups.setdefault((series_of(r), r["cpus"], r["scale"]), []).append(r)
 
-    # counters must be identical within a scale (byte-identical work)
-    for scale in {s for _, s in groups}:
-        cs = [r["counters"] for (c, s), g in groups.items() if s == scale for r in g]
-        assert all(c == cs[0] for c in cs), f"counter drift at scale {scale}"
+    # counters must be identical within (series, scale) — byte-identical work
+    for key_s, key_scale in {(s, sc) for s, _, sc in groups}:
+        cs = [
+            r["counters"]
+            for (s, c, sc), g in groups.items()
+            if s == key_s and sc == key_scale
+            for r in g
+        ]
+        assert all(c == cs[0] for c in cs), (
+            f"counter drift at scale {key_scale} within series {key_s}"
+        )
 
     def med(vals):
         return st.median(vals)
 
     print("## Scaling summary (derived from scaling_results.jsonl)\n")
-    print("| cpus | scale | turns | n runs | warm wall med [min..max] s | med turns/s | cold walls s |")
-    print("|---|---|---|---|---|---|---|")
+    print("| series | cpus | scale | turns | n runs | warm wall med [min..max] s | med turns/s | cold walls s |")
+    print("|---|---|---|---|---|---|---|---|")
     stats = {}
-    for (cpus, scale), g in sorted(groups.items(), key=lambda kv: (kv[0][1], kv[0][0])):
+    for (ser, cpus, scale), g in sorted(
+        groups.items(), key=lambda kv: (kv[0][0], kv[0][2], kv[0][1])
+    ):
         walls = [r["wall_sec"] for r in g]
         colds = [w for r in g for w in r.get("cold_walls", [])]
         turns = g[0]["turns"]
         m = med(walls)
-        stats[(cpus, scale)] = {"wall": m, "turns": turns, "n": len(walls)}
+        stats[(ser, cpus, scale)] = {"wall": m, "turns": turns, "n": len(walls)}
         print(
-            f"| {cpus} | {scale} | {turns:,} | {len(walls)} | "
+            f"| {ser} | {cpus} | {scale} | {turns:,} | {len(walls)} | "
             f"{m:.1f} [{min(walls):.1f}..{max(walls):.1f}] | "
             f"{turns / m:,.0f} | {', '.join(f'{c:.1f}' for c in colds)} |"
         )
 
-    print("\n### Strong scaling (fixed input, median warm walls)\n")
-    scales = sorted({s for _, s in stats})
-    for s in scales:
-        cpus_here = sorted(c for c, sc in stats if sc == s)
-        for lo, hi in [(a, b) for a in cpus_here for b in cpus_here if b == 4 * a]:
-            tlo, thi = stats[(lo, s)]["wall"], stats[(hi, s)]["wall"]
-            print(
-                f"- scale {s}: T{lo}/(4*T{hi}) = {tlo:.1f}/(4*{thi:.1f}) = "
-                f"**{tlo / (4 * thi):.2f}**"
-            )
+    print("\n### Strong scaling (fixed input, median warm walls, within one series)\n")
+    for ser in sorted({s for s, _, _ in stats}):
+        scales = sorted({sc for s, _, sc in stats if s == ser})
+        for sc in scales:
+            cpus_here = sorted(c for s, c, s2 in stats if s == ser and s2 == sc)
+            for lo, hi in [(a, b) for a in cpus_here for b in cpus_here if b == 4 * a]:
+                tlo = stats[(ser, lo, sc)]["wall"]
+                thi = stats[(ser, hi, sc)]["wall"]
+                print(
+                    f"- [{ser}] scale {sc}: T{lo}/(4*T{hi}) = "
+                    f"{tlo:.1f}/(4*{thi:.1f}) = **{tlo / (4 * thi):.2f}**"
+                )
 
-    print("\n### Weak scaling (4x cores on 4x data, median warm walls)\n")
-    for (clo, slo), (chi, shi) in [
-        ((2, 300), (8, 1200)),
-        ((2, 1200), (8, 4800)),
-        ((8, 1200), (32, 4800)),
-    ]:
-        if (clo, slo) in stats and (chi, shi) in stats:
-            tlo, thi = stats[(clo, slo)]["wall"], stats[(chi, shi)]["wall"]
-            tps = stats[(chi, shi)]["turns"] / thi
-            print(
-                f"- local[{clo}]@{stats[(clo, slo)]['turns']:,} = {tlo:.1f}s vs "
-                f"local[{chi}]@{stats[(chi, shi)]['turns']:,} = {thi:.1f}s "
-                f"({tps:,.0f} turns/s): weak efficiency {tlo:.1f}/{thi:.1f} = "
-                f"**{tlo / thi:.2f}**"
-            )
+    print("\n### Weak scaling (4x cores on 4x data, median warm walls, within one series)\n")
+    for ser in sorted({s for s, _, _ in stats}):
+        for (clo, slo), (chi, shi) in [
+            ((2, 300), (8, 1200)),
+            ((2, 1200), (8, 4800)),
+            ((8, 1200), (32, 4800)),
+        ]:
+            if (ser, clo, slo) in stats and (ser, chi, shi) in stats:
+                tlo = stats[(ser, clo, slo)]["wall"]
+                thi = stats[(ser, chi, shi)]["wall"]
+                tps = stats[(ser, chi, shi)]["turns"] / thi
+                print(
+                    f"- [{ser}] local[{clo}]@{stats[(ser, clo, slo)]['turns']:,} = "
+                    f"{tlo:.1f}s vs local[{chi}]@{stats[(ser, chi, shi)]['turns']:,}"
+                    f" = {thi:.1f}s ({tps:,.0f} turns/s): weak efficiency "
+                    f"{tlo:.1f}/{thi:.1f} = **{tlo / thi:.2f}**"
+                )
 
     print("\n### Per-stage medians (seconds, warm)\n")
-    stages = ["conv", "sig", "exact", "cands", "verify", "substr"]
-    print("| cpus | scale | " + " | ".join(stages) + " |")
-    print("|---" * (len(stages) + 2) + "|")
-    for (cpus, scale), g in sorted(groups.items(), key=lambda kv: (kv[0][1], kv[0][0])):
+    stages = ["conv", "sig", "exact", "cands", "verify", "substr", "cc", "counters"]
+    print("| series | cpus | scale | " + " | ".join(stages) + " |")
+    print("|---" * (len(stages) + 3) + "|")
+    for (ser, cpus, scale), g in sorted(
+        groups.items(), key=lambda kv: (kv[0][0], kv[0][2], kv[0][1])
+    ):
         meds = [med([r["stages"].get(s) or 0.0 for r in g]) for s in stages]
         print(
-            f"| {cpus} | {scale} | " + " | ".join(f"{v:.1f}" for v in meds) + " |"
+            f"| {ser} | {cpus} | {scale} | "
+            + " | ".join(f"{v:.1f}" for v in meds)
+            + " |"
         )
 
     rec = [r for r in rows if "recall" in r]
-    if rec:
-        r = rec[-1]
+    for r in rec:
         print(
-            f"\nRecall (scale {r['scale']}): {r['recalled']:,}/{r['truth_pairs']:,}"
+            f"\nRecall [{series_of(r)}] (scale {r['scale']}, local[{r['cpus']}]):"
+            f" {r['recalled']:,}/{r['truth_pairs']:,}"
             f" = {r['recall']:.6f}, extra pairs = {r['extra_pairs']}"
         )
 
