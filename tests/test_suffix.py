@@ -200,3 +200,25 @@ def test_substring_hot_bucket_routing_bit_identical(spark):
     c = {(r.a, r.b, tuple((w.pos_a, w.pos_b) for w in r.witnesses)) for r in cold.collect()}
     h = {(r.a, r.b, tuple((w.pos_a, w.pos_b) for w in r.witnesses)) for r in routed.collect()}
     assert c == h and len(c) > 0
+
+
+def test_pretouch_then_kernels_identical():
+    """_pretouch_kernels warms the arena without changing any later kernel
+    result: hashes/argmin computed after a pre-touch (buffers dirty with
+    synthetic garbage) equal fresh-module results."""
+    rng = np.random.default_rng(11)
+    codes = rng.integers(32, 1 << 16, size=50_000, dtype=np.uint32)
+    before_h = suffix._kgram_hashes_codes(codes.copy(), 50).copy()
+    before_w = suffix.window_argmin(before_h, 151).copy()
+    touched = suffix._pretouch_kernels(300_000)
+    assert touched > 0
+    after_h = suffix._kgram_hashes_codes(codes.copy(), 50).copy()
+    after_w = suffix.window_argmin(after_h, 151).copy()
+    np.testing.assert_array_equal(before_h, after_h)
+    np.testing.assert_array_equal(before_w, after_w)
+    # witness spans likewise unaffected by dirty arena state
+    flat = [(0, "x" * 120 + "SHARED" * 40 + "y" * 5, "z" * 3 + "SHARED" * 40, 125, 8)]
+    s1 = suffix._witness_spans(flat).copy()
+    suffix._pretouch_kernels(100_000)
+    s2 = suffix._witness_spans(flat).copy()
+    np.testing.assert_array_equal(s1, s2)
