@@ -145,9 +145,13 @@ def main() -> None:
     from sketch_spark.operators import suffix as _suffix
 
     total_chars = t.agg(F.sum(F.length("text"))).collect()[0][0] or 0
-    touched = _suffix.pretouch_arena(
-        spark, 2 * cpus, int(total_chars * 1.6 / (2 * cpus)) + 1024
-    )
+    # per-task volume is capped by the winnow task-size bound (suffix.py
+    # TARGET_CHARS_PER_TASK); pre-touch for whichever bound binds
+    per_task = min(
+        int(total_chars * 1.6 / (2 * cpus)),
+        int(_suffix.TARGET_CHARS_PER_TASK * 1.2),
+    ) + 1024
+    touched = _suffix.pretouch_arena(spark, 2 * cpus, per_task)
     print(f"# worker arenas pre-touched ({touched >> 20} MB reported) in "
           f"{time.time() - warm_t0:.1f}s", file=sys.stderr)
     t0 = time.time()

@@ -892,18 +892,46 @@ def pretouch_arena(
     return int(df.agg(_F.sum("touched")).collect()[0][0] or 0)
 
 
+# Upper bound on text volume per winnowing task.  The kernels' arena
+# buffers scale with the chars a task sees (~24 bytes/char across
+# codes/hashes/argmin); an unbounded task -> unbounded worker memory.
+# Measured failure: at the 46M-turn campaign scale, 16 tasks of ~344M
+# chars put ~7 GB of slabs on each of 8 workers — with a 64 GiB heap the
+# box OOM-killed the JVM (BENCH/logs/scaling3_c8_s4800_m64g.log).  32M
+# chars/task bounds the slab set at ~800 MB per worker REGARDLESS of
+# corpus size — the property a 10^12-turn run needs — while staying above
+# the bench corpus total, so small runs keep their existing partitioning.
+TARGET_CHARS_PER_TASK = 32_000_000
+
+
 def substring_pairs(
     conv: DataFrame,
     text_col: str = "full_text",
     id_col: str = "conv_id",
     L: int = DEFAULT_L,
     k: int = DEFAULT_K,
+    target_chars_per_task: int = TARGET_CHARS_PER_TASK,
 ) -> DataFrame:
+    # Bound per-task winnow memory: if the corpus' text volume divided by
+    # the current partition count exceeds the target, round-robin
+    # repartition the (id, text) projection to ceil(total/target) tasks.
+    # Winnowing is content-local per text (each text reads only its own
+    # hash range — see winnow_fingerprints), so partitioning cannot change
+    # the selected fingerprints; only task geometry moves.  The count
+    # aggregate runs on the caller-persisted conv table (one cheap scan).
+    total_chars = int(
+        conv.agg(F.sum(F.length(text_col))).collect()[0][0] or 0
+    )
+    src = conv.select(F.col(id_col), F.col(text_col))
+    need = total_chars // target_chars_per_task + 1
+    cur = conv.rdd.getNumPartitions()
+    if need > cur:
+        src = src.repartition(need)
     # persist the fingerprints: the candidate stage's hot-bucket guard has
     # three consumers (census / cold / hot) and the winnowing kernel is the
     # pipeline's most expensive numpy stage — it must run exactly once.
     # (Freed by the session's next clearCache / stage materialization.)
-    fps = winnow_fingerprints(conv, text_col, id_col, L, k).persist()
+    fps = winnow_fingerprints(src, text_col, id_col, L, k).persist()
     n_fps = fps.count()  # materializes once; also powers the census skip
     cands = substring_candidate_pairs(fps, id_col, n_fps=n_fps)
     return verify_substring_pairs(cands, conv, text_col, id_col, L)
