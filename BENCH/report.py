@@ -33,13 +33,19 @@ def load(path: str = "BENCH/scaling_results.jsonl"):
     return rows
 
 
+# rev -> human series label.  6d91c5e = round-4 arena+pretouch kernels;
+# bf41b81 = r4 plus the winnow task-size cap (bit-identical output, walls
+# shift at scales where the cap binds).  Unknown future revs print as-is.
+_REV_SERIES = {"6d91c5e": "r4", "bf41b81": "r4b"}
+
+
 def series_of(r: dict) -> str:
     # legacy (round-3 campaign) lines carry no rev; every round-4+ line does
     if not r.get("rev"):
         return "r3"
-    if r.get("policy", {}).get("minhash_prefilter_forced"):
-        return f"r4-pf{r['policy']['minhash_prefilter_forced']}"
-    return "r4"
+    base = _REV_SERIES.get(r["rev"], r["rev"])
+    forced = r.get("policy", {}).get("minhash_prefilter_forced")
+    return f"{base}-pf{forced}" if forced else base
 
 
 def main() -> None:
