@@ -135,11 +135,11 @@ def main() -> None:
     from sketch_spark.operators import suffix as _suffix
 
     total_chars = t.agg(F.sum(F.length("text"))).collect()[0][0] or 0
-    # per-task volume is capped by the winnow task-size bound (suffix.py
-    # TARGET_CHARS_PER_TASK); pre-touch for whichever bound binds
+    # per-kernel-call volume is capped by the winnow in-batch char bound
+    # (suffix.MAX_BATCH_CHARS); pre-touch for whichever bound binds
     per_task = min(
         int(total_chars * 1.6 / (2 * cpus)),
-        int(_suffix.TARGET_CHARS_PER_TASK * 1.2),
+        int(_suffix.MAX_BATCH_CHARS),
     ) + 1024
     _suffix.pretouch_arena(spark, 2 * cpus, per_task)
 

@@ -359,67 +359,100 @@ def winnow_fingerprints(
     The rolling hash runs ONCE over the whole Arrow batch (texts
     concatenated; k-grams crossing text boundaries are simply never
     selected because each text only reads its own hash range) — the
-    per-text numpy-call overhead used to dominate this stage's CPU."""
+    per-text numpy-call overhead used to dominate this stage's CPU.
+
+    Worker-memory bound: the concat/hash/argmin slabs scale with the
+    CHARS a kernel call sees (~24 B/char).  Arrow's 10k-row batch cap
+    bounds that implicitly for ordinary conversations, but text volume —
+    not row count — is the real resource, so each batch is additionally
+    split into <= MAX_BATCH_CHARS groups before the concat (pure driver-
+    side-free list slicing, no shuffle, selection unchanged: winnowing is
+    per-text content-local).  Slab memory per worker is therefore
+    constant in corpus AND conversation size — the property a 10^12-turn
+    run with adversarially long conversations needs."""
     w = L - k + 1
     assert w >= 1
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, fps, poss = [], [], []
-            convs = [
+            all_convs = [
                 (cid, text)
                 for cid, text in zip(pdf[id_col], pdf[text_col])
                 if text is not None
             ]
-            if convs:
-                codes = [
-                    np.frombuffer(
-                        t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
-                    )
-                    for _, t in convs
-                ]
-                lens = np.fromiter((c.size for c in codes), dtype=np.int64)
-                total = int(lens.sum())
-                # batch concat + hash + winnow all land in per-worker arena
-                # buffers: these are the largest per-batch arrays (tens of
-                # MB), reallocated per batch before — pure page-population
-                # tax on this host (see _ARENA note)
-                cat = _cap_buf("wf_codes", total, np.uint32)
-                o = 0
-                for c in codes:
-                    cat[o : o + c.size] = c
-                    o += c.size
-                allh = _kgram_hashes_codes(
-                    cat, k, out=_cap_buf("wf_allh", max(total - k + 1, 1), np.uint64)
-                )
-                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                # ONE O(n) window-argmin pass over the whole batch: every
-                # in-text window reads only in-text hash positions, so the
-                # global pass selects exactly what per-text passes would
-                # (boundary-mixed hashes sit outside every evaluated window).
-                nwam = allh.size - w + 1
-                wam = window_argmin(
-                    allh, w,
-                    out=_cap_buf("wf_wam", max(nwam, 1), np.int64)
-                    if nwam > 0 else None,
-                )
-                for (cid, _), st, ln in zip(convs, starts, lens):
-                    n = int(ln) - k + 1
-                    if n <= 0:
-                        continue
-                    if n <= w:
-                        sel = np.array([int(np.argmin(allh[st : st + n]))])
-                    else:
-                        sel = np.unique(wam[st : st + n - w + 1]) - st
-                    ids.extend([cid] * len(sel))
-                    fps.extend(allh[st + sel].astype(np.int64).tolist())
-                    poss.extend(sel.astype(np.int64).tolist())
-            yield pd.DataFrame({id_col: ids, "fp": fps, "pos": poss})
+            # char-bounded groups (a single over-long text stays alone)
+            groups, cur, cur_chars = [], [], 0
+            for item in all_convs:
+                n = len(item[1])
+                if cur and cur_chars + n > MAX_BATCH_CHARS:
+                    groups.append(cur)
+                    cur, cur_chars = [], 0
+                cur.append(item)
+                cur_chars += n
+            if cur:
+                groups.append(cur)
+            for convs in groups:
+                yield _winnow_group(convs, id_col, k, w)
 
     id_type = conv.schema[id_col].dataType.simpleString()
     return conv.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
         gen, schema=f"{id_col} {id_type}, fp long, pos int"
     )
+
+
+# Upper bound on text volume per winnowing kernel call (~24 B/char of
+# slabs => ~800 MB per worker at the bound).  Above the bench/campaign
+# batch sizes (10k rows x ~3k chars ~ 30M), so measured walls are
+# unaffected; it exists for corpora whose per-batch text volume explodes.
+MAX_BATCH_CHARS = 32_000_000
+
+
+def _winnow_group(convs: list, id_col: str, k: int, w: int) -> pd.DataFrame:
+    ids, fps, poss = [], [], []
+    if convs:
+        codes = [
+            np.frombuffer(
+                t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+            )
+            for _, t in convs
+        ]
+        lens = np.fromiter((c.size for c in codes), dtype=np.int64)
+        total = int(lens.sum())
+        # group concat + hash + winnow all land in per-worker arena
+        # buffers: these are the largest per-group arrays (tens of
+        # MB), reallocated per batch before — pure page-population
+        # tax on this host (see _ARENA note)
+        cat = _cap_buf("wf_codes", total, np.uint32)
+        o = 0
+        for c in codes:
+            cat[o : o + c.size] = c
+            o += c.size
+        allh = _kgram_hashes_codes(
+            cat, k, out=_cap_buf("wf_allh", max(total - k + 1, 1), np.uint64)
+        )
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        # ONE O(n) window-argmin pass over the whole group: every
+        # in-text window reads only in-text hash positions, so the
+        # global pass selects exactly what per-text passes would
+        # (boundary-mixed hashes sit outside every evaluated window).
+        nwam = allh.size - w + 1
+        wam = window_argmin(
+            allh, w,
+            out=_cap_buf("wf_wam", max(nwam, 1), np.int64)
+            if nwam > 0 else None,
+        )
+        for (cid, _), st, ln in zip(convs, starts, lens):
+            n = int(ln) - k + 1
+            if n <= 0:
+                continue
+            if n <= w:
+                sel = np.array([int(np.argmin(allh[st : st + n]))])
+            else:
+                sel = np.unique(wam[st : st + n - w + 1]) - st
+            ids.extend([cid] * len(sel))
+            fps.extend(allh[st + sel].astype(np.int64).tolist())
+            poss.extend(sel.astype(np.int64).tolist())
+    return pd.DataFrame({id_col: ids, "fp": fps, "pos": poss})
 
 
 def substring_candidate_pairs(
@@ -892,46 +925,18 @@ def pretouch_arena(
     return int(df.agg(_F.sum("touched")).collect()[0][0] or 0)
 
 
-# Upper bound on text volume per winnowing task.  The kernels' arena
-# buffers scale with the chars a task sees (~24 bytes/char across
-# codes/hashes/argmin); an unbounded task -> unbounded worker memory.
-# Measured failure: at the 46M-turn campaign scale, 16 tasks of ~344M
-# chars put ~7 GB of slabs on each of 8 workers — with a 64 GiB heap the
-# box OOM-killed the JVM (BENCH/logs/scaling3_c8_s4800_m64g.log).  32M
-# chars/task bounds the slab set at ~800 MB per worker REGARDLESS of
-# corpus size — the property a 10^12-turn run needs — while staying above
-# the bench corpus total, so small runs keep their existing partitioning.
-TARGET_CHARS_PER_TASK = 32_000_000
-
-
 def substring_pairs(
     conv: DataFrame,
     text_col: str = "full_text",
     id_col: str = "conv_id",
     L: int = DEFAULT_L,
     k: int = DEFAULT_K,
-    target_chars_per_task: int = TARGET_CHARS_PER_TASK,
 ) -> DataFrame:
-    # Bound per-task winnow memory: if the corpus' text volume divided by
-    # the current partition count exceeds the target, round-robin
-    # repartition the (id, text) projection to ceil(total/target) tasks.
-    # Winnowing is content-local per text (each text reads only its own
-    # hash range — see winnow_fingerprints), so partitioning cannot change
-    # the selected fingerprints; only task geometry moves.  The count
-    # aggregate runs on the caller-persisted conv table (one cheap scan).
-    total_chars = int(
-        conv.agg(F.sum(F.length(text_col))).collect()[0][0] or 0
-    )
-    src = conv.select(F.col(id_col), F.col(text_col))
-    need = total_chars // target_chars_per_task + 1
-    cur = conv.rdd.getNumPartitions()
-    if need > cur:
-        src = src.repartition(need)
     # persist the fingerprints: the candidate stage's hot-bucket guard has
     # three consumers (census / cold / hot) and the winnowing kernel is the
     # pipeline's most expensive numpy stage — it must run exactly once.
     # (Freed by the session's next clearCache / stage materialization.)
-    fps = winnow_fingerprints(src, text_col, id_col, L, k).persist()
+    fps = winnow_fingerprints(conv, text_col, id_col, L, k).persist()
     n_fps = fps.count()  # materializes once; also powers the census skip
     cands = substring_candidate_pairs(fps, id_col, n_fps=n_fps)
     return verify_substring_pairs(cands, conv, text_col, id_col, L)

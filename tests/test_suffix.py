@@ -222,3 +222,29 @@ def test_pretouch_then_kernels_identical():
     suffix._pretouch_kernels(100_000)
     s2 = suffix._witness_spans(flat).copy()
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_winnow_char_group_split_bit_identical(spark, monkeypatch):
+    """Forcing the in-batch char bound to bind (tiny MAX_BATCH_CHARS) must
+    not change the selected fingerprints: winnowing is per-text
+    content-local, so group geometry is invisible in the output."""
+    import random
+
+    from sketch_spark.operators import suffix as S
+
+    rng = random.Random(5)
+    rows = [
+        (f"c{i}", "".join(rng.choice("abcdef ") for _ in range(rng.randint(50, 900))))
+        for i in range(60)
+    ]
+    conv = spark.createDataFrame(rows, "conv_id string, full_text string").coalesce(2)
+    base = sorted(
+        (r.conv_id, r.fp, r.pos)
+        for r in S.winnow_fingerprints(conv, "full_text", "conv_id", 120, 30).collect()
+    )
+    monkeypatch.setattr(S, "MAX_BATCH_CHARS", 700)  # ~1-2 texts per group
+    split = sorted(
+        (r.conv_id, r.fp, r.pos)
+        for r in S.winnow_fingerprints(conv, "full_text", "conv_id", 120, 30).collect()
+    )
+    assert base == split and len(base) > 0
