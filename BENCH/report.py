@@ -34,9 +34,11 @@ def load(path: str = "BENCH/scaling_results.jsonl"):
 
 
 # rev -> human series label.  6d91c5e = round-4 arena+pretouch kernels;
-# bf41b81 = r4 plus the winnow task-size cap (bit-identical output, walls
-# shift at scales where the cap binds).  Unknown future revs print as-is.
-_REV_SERIES = {"6d91c5e": "r4", "bf41b81": "r4b"}
+# ffe0771/bf41b81 = r4 plus a winnow repartition cap (bit-identical
+# output; pays a text shuffle — only the two crossover runs measured
+# here); bf42cc1 = r4 with the shuffle-free in-batch char bound (walls
+# equal r4 at all measured scales).  Unknown future revs print as-is.
+_REV_SERIES = {"6d91c5e": "r4", "ffe0771": "r4b", "bf41b81": "r4b", "bf42cc1": "r4c"}
 
 
 def series_of(r: dict) -> str:
