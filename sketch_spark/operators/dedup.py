@@ -50,7 +50,7 @@ class DedupConfig:
     # when median-shingle-set-size x candidate-count exceeds
     # prefilter_threshold — both numbers are free (one approx-percentile
     # agg on the persisted conv table; cands row count from the stage log).
-    prefilter_threshold: float = 1.0e9  # measured: see BENCH/BASELINE.md §7
+    prefilter_threshold: float = 1.0e9  # measured both ways: BENCH/BASELINE.md §7b
     tau: float = 0.5  # exact-Jaccard acceptance threshold
     substring_L: int = 200
     substring_k: int = 50
