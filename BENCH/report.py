@@ -38,7 +38,12 @@ def load(path: str = "BENCH/scaling_results.jsonl"):
 # output; pays a text shuffle — only the two crossover runs measured
 # here); bf42cc1 = r4 with the shuffle-free in-batch char bound (walls
 # equal r4 at all measured scales).  Unknown future revs print as-is.
-_REV_SERIES = {"6d91c5e": "r4", "ffe0771": "r4b", "bf41b81": "r4b", "bf42cc1": "r4c"}
+_REV_SERIES = {
+    "6d91c5e": "r4",
+    "ffe0771": "r4b", "bf41b81": "r4b",
+    # doc-only commits between runs shift recorded HEAD; same code as bf42cc1
+    "bf42cc1": "r4c", "acaa871": "r4c", "c9917e5": "r4c",
+}
 
 
 def series_of(r: dict) -> str:
