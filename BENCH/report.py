@@ -43,7 +43,7 @@ _REV_SERIES = {
     "ffe0771": "r4b", "bf41b81": "r4b",
     # doc-only commits between runs shift recorded HEAD; same code as bf42cc1
     "bf42cc1": "r4c", "acaa871": "r4c", "c9917e5": "r4c", "8cc0549": "r4c",
-    "23eca4c": "r4c",
+    "23eca4c": "r4c", "7186d22": "r4c",
 }
 
 
