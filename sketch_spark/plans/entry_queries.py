@@ -88,6 +88,40 @@ def _memo(key, build):
     return _MEMO[key]
 
 
+# scan-split census per (sf_dir, table): computed once, driver-side only
+_SCAN_SPLITS: dict = {}
+
+
+def _scan(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one input table, restoring scan parallelism when the file
+    layout is degenerate.
+
+    The harness tables are written as a single row group per parquet file,
+    so the splittable scan yields ONE partition regardless of cluster
+    size — every downstream codegen stage (shingling, explodes, the map
+    side of every join) then runs on one core, and AQE sizes later
+    shuffles from that single task's output.  Measured on q15's
+    inverted-index join at sf0.1/local[32]: 22 s single-split vs 3.5 s
+    once split (the 38M matched rows were being generated nearly
+    serially).  A 100-TB production table arrives as thousands of row
+    groups and never takes this branch: the round-robin repartition fires
+    only when the scan has fewer splits than the cluster has task slots,
+    and costs one exchange of the (pruned) columns when it does.
+    Projection and filter pushdown still reach the scan through the
+    exchange (verified: PushedFilters/ReadSchema on the scan node under
+    the added Exchange; plan properties pinned in tests/test_plans.py).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    key = (sf_dir, table)
+    if key not in _SCAN_SPLITS:
+        # driver-side split census (computes FilePartitions, runs no job)
+        _SCAN_SPLITS[key] = df.rdd.getNumPartitions()
+    p = spark.sparkContext.defaultParallelism
+    if _SCAN_SPLITS[key] < p:
+        df = df.repartition(2 * p)
+    return df
+
+
 def _poly_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE vectorized pass computing every oracle-tier polynomial hash
     column: 3-gram shingle hashes (char family B=31 mod P) and the 60-bit
@@ -107,7 +141,7 @@ def _poly_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from sketch_spark.functions.hashing import poly_combine_py, poly_hash_py
         from sketch_spark.functions.text import tokens_py
 
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d = _scan(spark, sf_dir, "documents").select(
             "doc_id", "source", "text"
         )
         m30 = (1 << 30) - 1
@@ -153,7 +187,7 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _scan(spark, sf_dir, "documents")
 
 
 # ---------------------------------------------------------------------------
@@ -561,7 +595,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAM_MAX}
 
 
 def q09_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = _scan(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -577,7 +611,7 @@ GROUP BY event_type ORDER BY cnt DESC, event_type ASC LIMIT 10
 
 
 def q10_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = _scan(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("long").alias("n_users")
     )
@@ -683,11 +717,11 @@ def q14_order_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer containing one part (tiny, skew-safe); the old plan built
     O(orders_per_customer²) pair rows carrying full part arrays."""
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _scan(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    o = _scan(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
     op = li.join(o, li.l_orderkey == o.o_orderkey).select(
@@ -798,7 +832,7 @@ QSCALE = 1000
 def q16_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _scan(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.transform("embedding", lambda v: F.round(v * QSCALE).cast("long")).alias("qv"),
@@ -858,7 +892,7 @@ SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, dot FROM ranked WHERE rank <= {
 def q17_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = _scan(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ; timestampdiff is timezone-free on NTZ
     return (
@@ -893,7 +927,7 @@ FROM events
 
 
 def q18_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _scan(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -1016,8 +1050,8 @@ WHERE len(list_intersect(a.u, b.u)) >= {CONT_MIN}
 
 
 def q21_orders_with_heavy_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+    o = _scan(spark, sf_dir, "orders")
+    li = _scan(spark, sf_dir, "lineitem").where(
         F.col("l_quantity") > 45
     )
     return o.join(
@@ -1035,8 +1069,8 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 
 
 def q22_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = _scan(spark, sf_dir, "customer")
+    o = _scan(spark, sf_dir, "orders")
     return c.join(
         o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
         "c_custkey",
@@ -1069,7 +1103,7 @@ HA2, HB2 = 69_069, 362_437
 def q23_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.operators.hll import hll_registers
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = _scan(spark, sf_dir, "events")
     h1 = (F.lit(HA1) * F.col("user_id") + F.lit(HB1)) % F.lit(HP30)
     h2 = (F.lit(HA2) * F.col("user_id") + F.lit(HB2)) % F.lit(HP30)
     h60 = h1 * F.lit(1 << 30) + h2
@@ -1120,7 +1154,7 @@ FROM grid g LEFT JOIN mx
 
 
 def q24_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _scan(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
         F.expr("percentile(l_quantity, 0.5)").alias("median_qty")
     )
@@ -1284,7 +1318,7 @@ def _cm_hash(key, seed):
 def q27_cm_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.operators.frequency import cm_query, cm_sketch
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type")
+    e = _scan(spark, sf_dir, "events").select("event_type")
     cm = cm_sketch(e, "event_type", CM_D, CM_W, hash_fn=_cm_hash)
     keys = e.distinct()
     est = cm_query(cm, keys, "event_type", CM_D, CM_W, hash_fn=_cm_hash)
@@ -1339,8 +1373,8 @@ def _bloom_pos(key, seed, n_bits):
 def q28_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.operators.membership import bloom_build, bloom_probe
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    o = _scan(spark, sf_dir, "orders").select("o_custkey")
+    c = _scan(spark, sf_dir, "customer").select(
         "c_custkey", (F.col("c_custkey") + PROBE_SHIFT).alias("shifted_key")
     )
     bloom = bloom_build(o, "o_custkey", BLOOM_BITS, BLOOM_K, pos_fn=_bloom_pos)
@@ -1438,7 +1472,7 @@ _SRP_SIGNS = [
 
 
 def q30_srp_signs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _scan(spark, sf_dir, "embeddings")
     qv = F.transform("embedding", lambda v: F.round(v * QSCALE).cast("long"))
     df = e.select("vec_id", qv.alias("qv"))
     sig = F.lit(0).cast("long")
@@ -1503,10 +1537,10 @@ def _cs_sign(key, seed):
 def q31_join_size_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.operators.frequency import cs_inner_product, cs_sketch
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    o = _scan(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k")
     )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = _scan(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("k")
     )
     csa = cs_sketch(o, "k", CS_D, CS_W, hash_fn=_cs_hash, sign_fn=_cs_sign)
@@ -1615,7 +1649,7 @@ PCSA_P = 6
 def q33_pcsa_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.operators.hll import pcsa_registers
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = _scan(spark, sf_dir, "events")
     h1 = (F.lit(HA1) * F.col("user_id") + F.lit(HB1)) % F.lit(HP30)
     h2 = (F.lit(HA2) * F.col("user_id") + F.lit(HB2)) % F.lit(HP30)
     h60 = h1 * F.lit(1 << 30) + h2
@@ -1671,7 +1705,7 @@ _R34 = HMH_Q34_RSIZE - 6
 def q34_hmh_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.operators.hyperminhash import hmh_registers
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = _scan(spark, sf_dir, "events")
     h1 = (F.lit(HA1) * F.col("user_id") + F.lit(HB1)) % F.lit(HP30)
     h2 = (F.lit(HA2) * F.col("user_id") + F.lit(HB2)) % F.lit(HP30)
     h60 = h1 * F.lit(1 << 30) + h2
@@ -1744,7 +1778,7 @@ def _shr_time(d, j):
 def q35_shrivastava_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.operators.ann import shrivastava_registers_portable
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _scan(spark, sf_dir, "embeddings")
     nz = F.filter(
         F.sequence(F.lit(0).cast("long"), F.lit(SHR_DIM - 1).cast("long")),
         lambda d: F.element_at("embedding", (d + 1).cast("int")) > 0,
