@@ -80,7 +80,28 @@ def main() -> None:
     ).count()
     print(f"# warmup {time.time() - warm_t0:.1f}s", file=sys.stderr)
 
+    # Bounded wait-for-idle: back-to-back runs on this box leave the prior
+    # JVM's shutdown churn in load1 for ~1 min, and queries timed against
+    # it swing 3-5x (q01 2.2 s idle vs 8.6 s at load1=10.9, identical
+    # code).  Waiting is free and keeps the artifact attributable.
+    wait_t0 = time.time()
+    while os.getloadavg()[0] > 2.0 and time.time() - wait_t0 < 60:
+        time.sleep(5)
+    if time.time() - wait_t0 >= 5:
+        print(f"# waited {time.time() - wait_t0:.0f}s for idle "
+              f"(load1 now {os.getloadavg()[0]:.2f})", file=sys.stderr)
+
+    # Repeat-warm protocol, same as the scaling campaign (BENCH/scaling.py)
+    # and the dedup rep below: each query runs once cold then BENCH_QUERY_REPS
+    # warm times; the headline ("queries") is the warm MEDIAN, the cold wall
+    # is preserved in "queries_cold".  The first execution of each plan in a
+    # fresh JVM pays one-time costs a long-running cluster amortizes (codegen
+    # compilation, execution-memory slab page population — BASELINE.md
+    # §3b/§7), and single warm executions still swing 3-5x with this host's
+    # reclaim state; the median pins the plan cost.  Both numbers stay in
+    # the artifact so any regression is attributable from the JSON alone.
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     headline = [
         "q01_fingerprint_groups",
         "q03_bottomk",
@@ -93,11 +114,18 @@ def main() -> None:
         "q17_user_sessions",
         "q18_lineitem_agg",
     ]
+    reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
     for name in headline:
-        t0 = time.time()
-        n = EQ.QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        walls = []
+        for _ in range(reps + 1):
+            t0 = time.time()
+            n = EQ.QUERIES[name](spark, sf_dir).count()
+            walls.append(round(time.time() - t0, 3))
+        timings_cold[name] = walls[0]
+        ws = sorted(walls[1:])
+        timings[name] = ws[len(ws) // 2]
+        print(f"# {name}: {n} rows, warm median {timings[name]}s "
+              f"(cold {walls[0]}s, warm reps {walls[1:]})", file=sys.stderr)
 
     # transcript dedup pipeline on a deterministic synthetic corpus
     from sketch_spark.operators.dedup import DedupConfig, DedupPipeline
@@ -154,15 +182,54 @@ def main() -> None:
     touched = _suffix.pretouch_arena(spark, 2 * cpus, per_task)
     print(f"# worker arenas pre-touched ({touched >> 20} MB reported) in "
           f"{time.time() - warm_t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    pipe = DedupPipeline(spark, DedupConfig())
-    out = pipe.run(t)
-    out["clusters"].count()
-    dedup_s = round(time.time() - t0, 3)
+    # Untimed full warm rep, then BENCH_PIPELINE_REPS timed reps with the
+    # warm MEDIAN as headline — the same repeat-warm protocol as the
+    # scaling campaign (BENCH/scaling.py) and the query loop above.
+    # The first pipeline execution in a fresh JVM pays a one-time
+    # page-population tax for execution-memory slabs and shuffle buffers
+    # that the arena pre-touch cannot reach (Python-side only): measured
+    # same-session 29.6 s -> 16.7 s -> 15.0 s with the cache cleared
+    # between reps, with substr absorbing most of it (14.1 -> 5.3 s).
+    # Long-running executors pay this once per lifetime; this benchmark
+    # recreates the JVM per run, so without the warm rep the timed region
+    # measures the sandbox's reclaim state (walls swung 16 s vs 26 s on
+    # identical code purely with host page state — BASELINE.md §7), and
+    # even warm single reps swing ~2x under the host's reclaim churn.
+    def fresh_corpus():
+        spark.catalog.clearCache()
+        tt = spark.read.parquet(cache).repartition(2 * cpus, "conv_id").persist()
+        tt.count()
+        return tt
+
+    # Sampled (~10% of convs) untimed warm rep: compiles every stage's
+    # codegen classes and first-touches each worker's hot code paths at a
+    # tenth of the full run's wall; the residual slab-population delta the
+    # sample can't reach lands in the first timed rep, which the median
+    # discards.
+    warm_t0 = time.time()
+    wpipe = DedupPipeline(spark, DedupConfig())
+    wsample = t.where(F.pmod(F.xxhash64("conv_id"), F.lit(10)) == 0)
+    wpipe.run(wsample)["clusters"].count()
+    print(f"# pipeline warm rep (untimed, 10% sample) in "
+          f"{time.time() - warm_t0:.1f}s", file=sys.stderr)
+    p_reps = int(os.environ.get("BENCH_PIPELINE_REPS", "3"))
+    runs = []
+    for i in range(p_reps):
+        t = fresh_corpus()  # also drops the prior rep's persisted stages
+        t0 = time.time()
+        pipe = DedupPipeline(spark, DedupConfig())
+        out = pipe.run(t)
+        out["clusters"].count()
+        wall = round(time.time() - t0, 3)
+        stages = {e["stage"]: e.get("seconds") for e in pipe.ckpt.log}
+        runs.append((wall, stages, pipe))
+        print(f"# dedup rep {i}: {wall}s stages={stages}", file=sys.stderr)
+    runs.sort(key=lambda r: r[0])
+    dedup_s, stage_s, pipe = runs[len(runs) // 2]
     timings["dedup_pipeline"] = dedup_s
     tps = round(n_turns / dedup_s, 1)
-    stage_s = {e["stage"]: e.get("seconds") for e in pipe.ckpt.log}
-    print(f"# dedup: {n_turns} turns in {dedup_s}s = {tps} turns/s; "
+    print(f"# dedup: {n_turns} turns in {dedup_s}s (median of "
+          f"{[r[0] for r in runs]}) = {tps} turns/s; "
           f"stages={stage_s}; counters={pipe.counters}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -177,6 +244,8 @@ def main() -> None:
         "cpus": cpus,
         "counters": pipe.counters,
         "dedup_stages": stage_s,
+        "dedup_rep_walls": sorted(r[0] for r in runs),
+        "queries_cold": timings_cold,
         "load1_at_start": round(load1, 2),
     }))
     spark.stop()
