@@ -457,6 +457,95 @@ def weighted_jaccard_py(a: list[tuple[int, int]], b: list[tuple[int, int]]) -> f
     return num / den if den else 0.0
 
 
+def tfidf_walk_py(
+    a: list[tuple[int, int]], b: list[tuple[int, int]]
+) -> tuple[int, int]:
+    """Exact FinalRMinHash::tf_idf merge walk (reference mh.h:366-391):
+    walk the two hash-sorted weighted signatures in merge order, at most
+    len(a) steps, stopping as soon as either side exhausts; matched hashes
+    add min(w) to the numerator and max(w) to the denominator, unmatched
+    hashes add their weight to the denominator only.  Unlike the full
+    histogram intersection (weighted_jaccard_py), the estimate is computed
+    over a bounded PREFIX of the union — the reference's bottom-k sampling
+    semantics.  Returns integer (num, den) so oracles can hash-compare."""
+    lsz, rsz = len(a), len(b)
+    if lsz == 0 or rsz == 0:
+        return 0, 0
+    num = den = 0
+    i1 = i2 = nused = 0
+    while nused < lsz:
+        nused += 1
+        if a[i1][0] < b[i2][0]:
+            den += a[i1][1]
+            i1 += 1
+            if i1 == lsz:
+                break
+        elif b[i2][0] < a[i1][0]:
+            den += b[i2][1]
+            i2 += 1
+            if i2 == rsz:
+                break
+        else:
+            w1, w2 = a[i1][1], b[i2][1]
+            den += max(w1, w2)
+            num += min(w1, w2)
+            i1 += 1
+            i2 += 1
+            if i1 == lsz or i2 == rsz:
+                break
+    return num, den
+
+
+def tfidf_walk_cols(a: Column, b: Column) -> tuple[Column, Column]:
+    """tfidf_walk_py as a JVM expression over two hash-sorted
+    array<struct<h long, cnt long>> signatures.  The sequential merge walk
+    is re-expressed set-wise: visiting union hashes in ascending order IS
+    the merge order, and the reference's post-step break (mh.h:374-390)
+    makes "stopped" an absorbing state over monotone counters, so a union
+    element at merge position n is processed iff the PRIOR prefix had not
+    exhausted either list (i1 < lsz, i2 < rsz) nor used lsz steps.  An
+    F.aggregate with a struct accumulator carries (i1, i2, n, num, den,
+    stop) across the sorted union — O(k) per pair, k = bottom-k size."""
+    am = F.map_from_entries(a)
+    bm = F.map_from_entries(b)
+    ah = F.transform(a, lambda s: s.getField("h"))
+    bh = F.transform(b, lambda s: s.getField("h"))
+    union_h = F.array_sort(F.array_union(ah, bh))
+    lsz = F.size(a)
+    rsz = F.size(b)
+    zero = F.struct(
+        F.lit(0).alias("i1"),
+        F.lit(0).alias("i2"),
+        F.lit(0).alias("n"),
+        F.lit(0).cast("long").alias("num"),
+        F.lit(0).cast("long").alias("den"),
+        ((lsz == 0) | (rsz == 0)).alias("stop"),
+    )
+
+    def step(acc, h):
+        wa = F.element_at(am, h)  # null when h is not in a
+        wb = F.element_at(bm, h)
+        both = wa.isNotNull() & wb.isNotNull()
+        i1n = acc.getField("i1") + F.when(wa.isNotNull(), 1).otherwise(0)
+        i2n = acc.getField("i2") + F.when(wb.isNotNull(), 1).otherwise(0)
+        nn = acc.getField("n") + 1
+        dden = F.when(both, F.greatest(wa, wb)).otherwise(F.coalesce(wa, wb))
+        dnum = F.when(both, F.least(wa, wb)).otherwise(F.lit(0).cast("long"))
+        return F.when(acc.getField("stop"), acc).otherwise(
+            F.struct(
+                i1n.alias("i1"),
+                i2n.alias("i2"),
+                nn.alias("n"),
+                (acc.getField("num") + dnum).alias("num"),
+                (acc.getField("den") + dden).alias("den"),
+                ((i1n >= lsz) | (i2n >= rsz) | (nn >= lsz)).alias("stop"),
+            )
+        )
+
+    st = F.aggregate(union_h, zero, step)
+    return st.getField("num"), st.getField("den")
+
+
 # ---------------------------------------------------------------------------
 # Weighted MinHash signatures (reference bmh.h:219-701 BagMinHash /
 # ProbMinHash).  Two constructions:

@@ -1008,14 +1008,17 @@ CONT_MIN = 10
 
 
 def q20_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same inverted-index count-join plan as q15 (setsim.overlap_count_join);
-    the asymmetric (a != b) output is both orientations of each unordered
+    """Same hot-element-safe hybrid join plan as q15
+    (setsim.overlap_join_hybrid — value-identical to overlap_count_join,
+    sub-quadratic under df~n hot shingles at 100x scale; the df census
+    auto-falls back to the plain count join when nothing is hot).  The
+    asymmetric (a != b) output is both orientations of each unordered
     pair."""
-    from sketch_spark.operators.setsim import overlap_count_join
+    from sketch_spark.operators.setsim import overlap_join_hybrid
 
     sh = _doc_shingle_hashes(spark, sf_dir)
     d = sh.select("doc_id", "source", F.array_distinct("shingles").alias("u"))
-    pairs = overlap_count_join(d, "doc_id", "u", CONT_MIN, block_cols=("source",))
+    pairs = overlap_join_hybrid(d, "doc_id", "u", CONT_MIN, block_cols=("source",))
     fwd = pairs.select(
         F.col("a").alias("a_doc"),
         F.col("b").alias("b_doc"),
@@ -1235,8 +1238,13 @@ GROUP BY g.doc_id, g.i
 K_W = 16
 
 
-def q26_weighted_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sketch_spark.operators.minhash import bottom_k_counting, weighted_overlap_cols
+def _counting_minimizer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared q26/q36 front half: per-doc counting bottom-k minimizers
+    (CountingRangeMinHash state) and the shared-minimizer equi-join
+    candidates (ssi.h bottom-k index mode — exactly the pairs with at
+    least one common minimizer, never an all-pairs join).  Returns
+    (a, b, _ma, _mb) with both docs' minimizer arrays attached."""
+    from sketch_spark.operators.minhash import bottom_k_counting
 
     sh = _poly_docs(spark, sf_dir)
     ex = sh.select("doc_id", "source", F.explode("shingles").alias("h"))
@@ -1261,16 +1269,19 @@ def q26_weighted_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ma = m2.select(F.col("doc_id").alias("a"), F.col("minimizers").alias("_ma"))
     mb = m2.select(F.col("doc_id").alias("b"), F.col("minimizers").alias("_mb"))
+    return cand.join(ma, "a").join(mb, "b")
+
+
+def q26_weighted_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.minhash import weighted_overlap_cols
+
+    pairs = _counting_minimizer_pairs(spark, sf_dir)
     num, den = weighted_overlap_cols(F.col("_ma"), F.col("_mb"))
-    return (
-        cand.join(ma, "a")
-        .join(mb, "b")
-        .select(
-            F.col("a").alias("a_doc"),
-            F.col("b").alias("b_doc"),
-            num.cast("long").alias("w_num"),
-            den.cast("long").alias("w_den"),
-        )
+    return pairs.select(
+        F.col("a").alias("a_doc"),
+        F.col("b").alias("b_doc"),
+        num.cast("long").alias("w_num"),
+        den.cast("long").alias("w_den"),
     )
 
 
@@ -1820,6 +1831,79 @@ FROM keyed
 
 
 # ---------------------------------------------------------------------------
+# q36 — FinalRMinHash::tf_idf merge walk (mh.h:366-391): the weighted
+#        Jaccard estimate over a bounded PREFIX of the signature union —
+#        at most |sig_a| merge steps, stopping when either signature
+#        exhausts.  Distinct from q26's full histogram intersection: this
+#        is the reference's actual bottom-k sampling estimator.  Same
+#        shared-minimizer candidates as q26 (never all-pairs); the
+#        sequential walk is re-expressed set-wise (see
+#        minhash.tfidf_walk_cols) and, in the oracle, as window-function
+#        prefix conditions over the union in hash order.
+# ---------------------------------------------------------------------------
+
+
+def q36_tfidf_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.minhash import tfidf_walk_cols
+
+    pairs = _counting_minimizer_pairs(spark, sf_dir)
+    num, den = tfidf_walk_cols(F.col("_ma"), F.col("_mb"))
+    return pairs.select(
+        F.col("a").alias("a_doc"),
+        F.col("b").alias("b_doc"),
+        num.cast("long").alias("t_num"),
+        den.cast("long").alias("t_den"),
+    )
+
+
+Q36_SQL = (
+    SQL_DOC_SHINGLE_HASHES
+    + f"""
+, ex AS (SELECT doc_id, source, unnest(shingles) AS h FROM sh)
+, cnts AS (SELECT doc_id, source, h, count(*) AS cnt
+           FROM ex GROUP BY doc_id, source, h)
+, rk AS (SELECT doc_id, source, h, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM cnts)
+, mins AS (SELECT doc_id, source, h, cnt FROM rk WHERE rn <= {K_W})
+, lens AS (SELECT doc_id, count(*) AS sz FROM mins GROUP BY doc_id)
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+  FROM mins a JOIN mins b
+    ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id)
+-- union of both signatures per pair, in hash order = merge-walk order
+, pu AS (
+  SELECT p.a_doc, p.b_doc, m.h,
+         max(CASE WHEN m.doc_id = p.a_doc THEN m.cnt END) AS wa,
+         max(CASE WHEN m.doc_id = p.b_doc THEN m.cnt END) AS wb
+  FROM pairs p JOIN mins m ON m.doc_id = p.a_doc OR m.doc_id = p.b_doc
+  GROUP BY p.a_doc, p.b_doc, m.h)
+, w AS (
+  SELECT pu.*,
+    CASE WHEN wa IS NOT NULL THEN 1 ELSE 0 END AS ina,
+    CASE WHEN wb IS NOT NULL THEN 1 ELSE 0 END AS inb,
+    row_number() OVER (PARTITION BY a_doc, b_doc ORDER BY h) AS rn,
+    sum(CASE WHEN wa IS NOT NULL THEN 1 ELSE 0 END)
+      OVER (PARTITION BY a_doc, b_doc ORDER BY h) AS i1,
+    sum(CASE WHEN wb IS NOT NULL THEN 1 ELSE 0 END)
+      OVER (PARTITION BY a_doc, b_doc ORDER BY h) AS i2
+  FROM pu)
+-- mh.h:374-390 break happens AFTER accumulating, so element n is processed
+-- iff the prefix BEFORE it (i1-ina, i2-inb, rn-1) had exhausted nothing
+SELECT w.a_doc, w.b_doc,
+  CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN least(wa, wb) ELSE 0 END)
+       AS BIGINT) AS t_num,
+  CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN greatest(wa, wb)
+           ELSE coalesce(wa, wb) END) AS BIGINT) AS t_den
+FROM w
+JOIN lens la ON la.doc_id = w.a_doc
+JOIN lens lb ON lb.doc_id = w.b_doc
+WHERE (i1 - ina) < la.sz AND (i2 - inb) < lb.sz AND rn <= la.sz
+GROUP BY w.a_doc, w.b_doc
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1859,6 +1943,7 @@ QUERIES = {
     "q33_pcsa_registers": q33_pcsa_registers,
     "q34_hmh_registers": q34_hmh_registers,
     "q35_shrivastava_registers": q35_shrivastava_registers,
+    "q36_tfidf_walk": q36_tfidf_walk,
 }
 
 ORACLES = {
@@ -1897,4 +1982,5 @@ ORACLES = {
     "q33_pcsa_registers": Q33_SQL,
     "q34_hmh_registers": Q34_SQL,
     "q35_shrivastava_registers": Q35_SQL,
+    "q36_tfidf_walk": Q36_SQL,
 }

@@ -4,6 +4,7 @@ integer-weight expansion reduction."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from sketch_spark.operators import minhash as MH
 
@@ -134,6 +135,57 @@ def test_prob_minhash_blockwise_matches_global(spark):
     t = -np.log(u) / ws[:, None]
     want = hs[np.argmin(t, axis=0)].astype(np.int64).tolist()
     assert full["z"] == want
+
+
+def test_tfidf_walk_py_hand_case():
+    """Literal mh.h:366-391 trace on A/B: three matched hashes (101/202/303),
+    then 404 and 505 from A alone, at which point i1 == lsz and the walk
+    breaks — 606 is never visited."""
+    num, den = MH.tfidf_walk_py(sorted(A), sorted(B))
+    assert (num, den) == (1 + 1 + 2, 3 + 1 + 4 + 5 + 1)
+    # walk is asymmetric: starting from B the step budget is lsz=4, so the
+    # 4th step consumes 404 from A's side and the budget ends the walk
+    num_ba, den_ba = MH.tfidf_walk_py(sorted(B), sorted(A))
+    assert (num_ba, den_ba) == (1 + 1 + 2, 3 + 1 + 4 + 5)
+    assert MH.tfidf_walk_py([], sorted(B)) == (0, 0)
+    assert MH.tfidf_walk_py(sorted(A), []) == (0, 0)
+    sa = sorted(A)
+    n_id, d_id = MH.tfidf_walk_py(sa, sa)
+    assert n_id == d_id == sum(c for _, c in A)
+
+
+def test_tfidf_walk_cols_matches_py(spark):
+    """The set-wise JVM expression must equal the sequential reference walk
+    on randomized hash-sorted weighted signatures, including exhaustion
+    from either side and the nused budget."""
+    rng = np.random.default_rng(7)
+    rows = []
+    expect = {}
+    for i in range(60):
+        la = int(rng.integers(1, 12))
+        lb = int(rng.integers(1, 12))
+        universe = rng.choice(40, size=18, replace=False)
+        a = sorted(
+            (int(h), int(rng.integers(1, 9)))
+            for h in rng.choice(universe, size=la, replace=False)
+        )
+        b = sorted(
+            (int(h), int(rng.integers(1, 9)))
+            for h in rng.choice(universe, size=lb, replace=False)
+        )
+        rows.append((str(i), _wset(a), _wset(b)))
+        expect[str(i)] = MH.tfidf_walk_py(a, b)
+    df = spark.createDataFrame(
+        rows,
+        "pid string, ma array<struct<h long, cnt long>>, "
+        "mb array<struct<h long, cnt long>>",
+    )
+    num, den = MH.tfidf_walk_cols(F.col("ma"), F.col("mb"))
+    got = {
+        r.pid: (r.num, r.den)
+        for r in df.select("pid", num.alias("num"), den.alias("den")).collect()
+    }
+    assert got == expect
 
 
 def test_prob_jaccard_py_bounds():
