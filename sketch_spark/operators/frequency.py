@@ -109,6 +109,119 @@ def cm_sketch_decayed(
     return cells.groupBy("seed", "bucket").agg(F.sum("_w").alias("cnt"))
 
 
+# ---------------------------------------------------------------------------
+# pccm_t — approximate-counting ("probabilistic counter") Count-Min
+# (reference ccm.h:876 `pccm_t = ccmbase_t<update::PowerOfTwo>` with the
+# Morris power-of-two counter strategy, update.h:35-83).  A BITS-bit cell
+# stores a log-domain value c whose decode is est_count(c) = 2^(c-1)
+# (update.h:80-82); the reference reaches c by probabilistic increments
+# (increment with probability 2^-c, update.h:45-52).  That sequential
+# RNG-per-insert path exists to bound per-cell memory on a single node; on
+# Spark exact partial counts are FREE (map-side combine already bounds
+# state at d*w cells per partition), so the cell value here is the
+# deterministic expectation-matched encoding c(n) = floor(log2 n) + 1 —
+# the unique c with 2^(c-1) <= n < 2^c, i.e. est_count(c(n)) is the
+# largest power of two <= n.  Same storage bound (BITS-bit saturating
+# cells), same decode, strictly lower variance than the RNG counter.
+# Merging two ALREADY-QUANTIZED sketches (e.g. two persisted checkpoints
+# whose exact counts are gone) uses the reference's literal combine rule
+# max(i, j) + (i == j) (update.h:73-78).
+# ---------------------------------------------------------------------------
+
+
+def pccm_quantize_col(cnt: Column, bits: int = 8) -> Column:
+    """Exact count -> BITS-bit Morris cell: c(n) = floor(log2 n) + 1
+    saturated at 2^bits - 1, 0 for empty.  Integer-exact via the binary
+    digit count (no float log)."""
+    maxc = (1 << bits) - 1
+    c = F.length(F.conv(cnt.cast("string"), 10, 2)).cast("long")
+    return F.when(cnt <= 0, F.lit(0).cast("long")).otherwise(
+        F.least(c, F.lit(maxc).cast("long"))
+    )
+
+
+def pccm_est_col(c: Column) -> Column:
+    """Decode: est_count(c) = 2^(c-1), 0 for an empty cell (update.h:80-82).
+    pow(2.0, k) is IEEE-exact; valid for c <= 63 (counts < 2^62)."""
+    return (
+        F.when(c <= 0, F.lit(0.0))
+        .otherwise(F.pow(F.lit(2.0), c.cast("double") - 1))
+        .cast("long")
+    )
+
+
+def pccm_combine_col(i: Column, j: Column) -> Column:
+    """Literal update.h:73-78 Morris-counter merge: max(i, j) + (i == j).
+    Equal cells each hold ~2^(c-1); their union ~2^c, which is cell c+1.
+    Apply only where both cells exist — our relational sketches keep
+    nonzero cells only, so the degenerate combine(0,0)=1 never arises."""
+    return F.greatest(i, j) + F.when(i == j, F.lit(1)).otherwise(F.lit(0)).cast(
+        "long"
+    )
+
+
+def pccm_sketch(
+    elems: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1 << 14,
+    bits: int = 8,
+    hash_fn: Callable[[Column, Column], Column] = xxhash_family,
+) -> DataFrame:
+    """Approximate-counting CM table: (seed, bucket, c) rows with BITS-bit
+    log-domain cells.  Exact monoid counts through the shuffle (the cheap
+    part), quantized at finalize (the space bound the reference's
+    probabilistic counters buy)."""
+    cm = cm_sketch(elems, key_col, d, w, hash_fn)
+    return cm.select(
+        "seed", "bucket", pccm_quantize_col(F.col("cnt"), bits).alias("c")
+    )
+
+
+def pccm_merge(a: DataFrame, b: DataFrame, bits: int = 8) -> DataFrame:
+    """Merge two quantized sketches cell-wise with the reference combine
+    rule (update.h:73-78), saturating at the cell maximum.  Cells present
+    on one side only pass through (the other side's cell is empty)."""
+    maxc = (1 << bits) - 1
+    aa = a.select("seed", "bucket", F.col("c").alias("_ca"))
+    bb = b.select("seed", "bucket", F.col("c").alias("_cb"))
+    j = aa.join(bb, ["seed", "bucket"], "full_outer")
+    both = F.col("_ca").isNotNull() & F.col("_cb").isNotNull()
+    merged = F.when(
+        both, pccm_combine_col(F.col("_ca"), F.col("_cb"))
+    ).otherwise(F.coalesce(F.col("_ca"), F.col("_cb")))
+    return j.select(
+        "seed",
+        "bucket",
+        F.least(merged, F.lit(maxc).cast("long")).cast("long").alias("c"),
+    )
+
+
+def pccm_query(
+    pccm: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1 << 14,
+    hash_fn: Callable[[Column, Column], Column] = xxhash_family,
+) -> DataFrame:
+    """Point estimates: min over the d cells of est_count(c) (ccm.h
+    est_count; min of the decode == decode of the min, est is monotone).
+    Broadcast the <= d*w-cell table."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
+    probes = keys.select(F.col(key_col), seeds).select(
+        key_col,
+        "seed",
+        F.pmod(hash_fn(F.col(key_col), F.col("seed")), F.lit(w)).alias("bucket"),
+    )
+    joined = probes.join(F.broadcast(pccm), ["seed", "bucket"], "left").fillna(
+        {"c": 0}
+    )
+    return joined.groupBy(key_col).agg(
+        F.min(pccm_est_col(F.col("c"))).cast("long").alias("est_count")
+    )
+
+
 def default_sign_family(key: Column, seed: Column) -> Column:
     """±1 from an independent xxhash64 bit (seed offset decorrelates it from
     the bucket family)."""

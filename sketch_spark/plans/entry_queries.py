@@ -1904,6 +1904,48 @@ GROUP BY w.a_doc, w.b_doc
 
 
 # ---------------------------------------------------------------------------
+# q37 — approximate-counting Count-Min (pccm_t = ccmbase_t<PowerOfTwo>,
+#        ccm.h:876 + update.h:35-83): the CM table with Morris log-domain
+#        cells.  Registers are exact under the deterministic
+#        expectation-matched encoding c(n) = floor(log2 n) + 1 (see
+#        frequency.pccm_quantize_col); est_cell = 2^(c-1) is the
+#        update.h:80-82 decode.  Same portable hash family as q27, so the
+#        two rows differ only in the counter representation.
+# ---------------------------------------------------------------------------
+
+PCCM_BITS = 8
+
+
+def q37_pccm_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.frequency import pccm_est_col, pccm_sketch
+
+    e = _scan(spark, sf_dir, "events").select("event_type")
+    pc = pccm_sketch(e, "event_type", CM_D, CM_W, PCCM_BITS, hash_fn=_cm_hash)
+    return pc.select(
+        F.col("seed").cast("long").alias("seed"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("c").alias("c"),
+        pccm_est_col(F.col("c")).alias("est_cell"),
+    )
+
+
+Q37_SQL = f"""
+WITH k AS (SELECT event_type, {_Q27_TH} AS th FROM events),
+cells AS (SELECT t.s AS seed,
+            ((th * {POLY_B} + t.s * 7919 + 13) % {POLY_P}) % {CM_W} AS bucket,
+            count(*) AS cnt
+          FROM k, unnest(range(0, {CM_D})) AS t(s) GROUP BY 1, 2),
+q AS (SELECT seed, bucket,
+        least(CAST(length(bin(CAST(cnt AS BIGINT))) AS BIGINT),
+              {(1 << PCCM_BITS) - 1}) AS c
+      FROM cells WHERE cnt > 0)
+SELECT CAST(seed AS BIGINT) AS seed, CAST(bucket AS BIGINT) AS bucket,
+  c, CAST(power(2, c - 1) AS BIGINT) AS est_cell
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1944,6 +1986,7 @@ QUERIES = {
     "q34_hmh_registers": q34_hmh_registers,
     "q35_shrivastava_registers": q35_shrivastava_registers,
     "q36_tfidf_walk": q36_tfidf_walk,
+    "q37_pccm_registers": q37_pccm_registers,
 }
 
 ORACLES = {
@@ -1983,4 +2026,5 @@ ORACLES = {
     "q34_hmh_registers": Q34_SQL,
     "q35_shrivastava_registers": Q35_SQL,
     "q36_tfidf_walk": Q36_SQL,
+    "q37_pccm_registers": Q37_SQL,
 }

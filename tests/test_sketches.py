@@ -444,3 +444,77 @@ def test_embedding_dup_pairs_planted(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_pccm_quantize_decode_bounds(spark):
+    """c(n) = floor(log2 n) + 1 exactly (integer digit count, no float log);
+    decode 2^(c-1) is the largest power of two <= n; saturation at the
+    BITS-bit cell max (update.h:39 'Also saturates')."""
+    from pyspark.sql import functions as F
+
+    ns = [1, 2, 3, 4, 7, 8, 9, 255, 256, 1023, 1 << 40, (1 << 40) + 17, 0]
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    got = {
+        r.n: (r.c, r.est)
+        for r in df.select(
+            "n",
+            frequency.pccm_quantize_col(F.col("n"), bits=8).alias("c"),
+            frequency.pccm_est_col(
+                frequency.pccm_quantize_col(F.col("n"), bits=8)
+            ).alias("est"),
+        ).collect()
+    }
+    for n in ns:
+        c, est = got[n]
+        if n == 0:
+            assert (c, est) == (0, 0)
+        else:
+            assert c == n.bit_length()
+            assert est == 1 << (n.bit_length() - 1)
+            assert est <= n < 2 * est
+    # saturation: with 3-bit cells max c = 7
+    sat = df.select(
+        frequency.pccm_quantize_col(F.col("n"), bits=3).alias("c")
+    ).agg(F.max("c")).collect()[0][0]
+    assert sat == 7
+
+
+def test_pccm_merge_combine_rule(spark):
+    """Cell-wise merge must follow update.h:73-78 literally:
+    max(i, j) + (i == j); one-sided cells pass through; saturating."""
+    from pyspark.sql import functions as F
+
+    a_cells = [(0, 1, 3), (0, 2, 5), (1, 4, 7)]
+    b_cells = [(0, 1, 3), (0, 2, 2), (1, 9, 4)]
+    a = spark.createDataFrame(a_cells, "seed int, bucket int, c long")
+    b = spark.createDataFrame(b_cells, "seed int, bucket int, c long")
+    m = {
+        (r.seed, r.bucket): r.c
+        for r in frequency.pccm_merge(a, b, bits=3).collect()
+    }
+    assert m[(0, 1)] == 4  # equal cells: 3 + 1
+    assert m[(0, 2)] == 5  # max(5, 2)
+    assert m[(1, 4)] == 7  # a only, already at 3-bit max
+    assert m[(1, 9)] == 4  # b only
+    # saturation: two equal max cells stay at the cell max
+    s1 = spark.createDataFrame([(0, 0, 7)], "seed int, bucket int, c long")
+    sat = frequency.pccm_merge(s1, s1, bits=3).collect()[0].c
+    assert sat == 7
+
+
+def test_pccm_query_collision_free_exact(spark):
+    """With w large enough for zero collisions the estimate is EXACTLY
+    est_count(c(true)) — deterministic, unlike the reference's RNG
+    counters whose expectation this encoding matches."""
+    rows = [(k,) for k in range(16) for _ in range((k + 1) * 9)]
+    df = spark.createDataFrame(rows, "key int")
+    pc = frequency.pccm_sketch(df, "key", d=4, w=1 << 14, bits=8)
+    keys = spark.createDataFrame([(k,) for k in range(16)], "key int")
+    est = {
+        r.key: r.est_count
+        for r in frequency.pccm_query(pc, keys, "key", d=4, w=1 << 14).collect()
+    }
+    for k in range(16):
+        true = (k + 1) * 9
+        assert est[k] == 1 << (true.bit_length() - 1)
+        assert est[k] <= true < 2 * est[k]
