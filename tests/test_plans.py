@@ -137,3 +137,25 @@ def test_q14_has_no_allpairs_block_join(spark):
     plan = _plan(EQ.QUERIES["q14_order_part_overlap"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_q36_walk_is_jvm_only_equijoin(spark):
+    """q36's bounded tf_idf walk must stay a candidate equi-join (never
+    all-pairs) with the walk itself a JVM expression — no Python UDF and
+    no CartesianProduct anywhere in the plan."""
+    from sketch_spark.plans import entry_queries as EQ
+
+    plan = _plan(EQ.QUERIES["q36_tfidf_walk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q37_pccm_cells_aggregate_partially(spark):
+    """pccm registers are a monoid count until the quantize projection, so
+    the d*N exploded rows must partial-aggregate before the exchange —
+    the property that keeps the sketch build one-pass at 10^12 rows."""
+    from sketch_spark.plans import entry_queries as EQ
+
+    plan = _plan(EQ.QUERIES["q37_pccm_registers"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
