@@ -185,12 +185,17 @@ def main() -> None:
     import subprocess
 
     try:
-        rev = subprocess.run(
+        proc = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, cwd=os.path.dirname(__file__),
-        ).stdout.strip()
+        )
+        # empty rev would classify the line into the legacy no-rev 'r3'
+        # series in report.py and confound cross-kernel efficiencies;
+        # 'unknown' stays its own series
+        rev = proc.stdout.strip() if proc.returncode == 0 else ""
+        rev = rev or "unknown"
     except OSError:
-        rev = ""
+        rev = "unknown"
     print(
         json.dumps(
             {

@@ -50,6 +50,15 @@ class DedupConfig:
     # when median-shingle-set-size x candidate-count exceeds
     # prefilter_threshold — both numbers are free (one approx-percentile
     # agg on the persisted conv table; cands row count from the stage log).
+    # NOTE the pre-filter is a bytes-vs-recall trade, not free: a true
+    # tau=0.5 pair whose 128-register estimate falls below tau_pre=0.2
+    # (~6.8 sigma of register noise, plus empty-bin densification noise on
+    # very small shingle sets) is dropped before the exact verify, so the
+    # SAME corpus can cluster differently above vs below the threshold.
+    # The decision is recorded in DedupPipeline.policy (emitted into the
+    # scaling jsonl) so every artifact attributes which path produced it;
+    # pass use_minhash_prefilter=False to pin exact-only behavior, and see
+    # BENCH/BASELINE.md section 7b for the measured crossover + recall.
     prefilter_threshold: float = 1.0e9  # measured both ways: BENCH/BASELINE.md §7b
     tau: float = 0.5  # exact-Jaccard acceptance threshold
     substring_L: int = 200

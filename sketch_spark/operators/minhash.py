@@ -605,6 +605,17 @@ def prob_minhash_np(
                     continue
                 hs = np.array([e["h"] for e in row], dtype=np.int64).astype(np.uint64)
                 ws = np.array([e[weight_field] for e in row], dtype=np.float64)
+                # weight <= 0 (e.g. idf 0) or NaN means "not in the weighted
+                # set": drop those elements up front.  Without the mask an
+                # all-degenerate row would leave best_h at the zero sentinel,
+                # and two unrelated such rows would compare as J_P = 1.0;
+                # all-degenerate rows get a null signature like empty rows.
+                ok = np.isfinite(ws) & (ws > 0.0)
+                if not ok.all():
+                    hs, ws = hs[ok], ws[ok]
+                    if hs.size == 0:
+                        out.append(None)
+                        continue
                 best_t = np.full(m, np.inf)
                 best_h = np.zeros(m, dtype=np.uint64)
                 for lo in range(0, hs.size, BLOCK):

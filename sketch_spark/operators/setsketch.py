@@ -52,10 +52,12 @@ B16, A16, Q16 = 1.0006, 0.001, 65534
 def optimal_ab(maxv: float, minv: float, *, q: float) -> tuple[float, float]:
     """Fit SetSketch quantization parameters (a, b) so that register value
     maxv maps to 0 and minv maps to q (reference
-    python/sketch_ds/__init__.py:21-36): the quantizer is
-    k = ceil(log_b(v / a)) clamped to [0, q], and with
-    b = (maxv/minv)^(1/q), a = maxv / b the dynamic range [minv, maxv]
-    exactly fills the q+1 quantization levels.  Anyone whose expected
+    python/sketch_ds/__init__.py:21-36).  The engine's quantizer (module
+    header; setsketch_quantize_col) is K(x) = clamp(1 - log_b(x / a), 0,
+    q+1); with b = (maxv/minv)^(1/q) and a = maxv / b,
+    K(maxv) = 1 - log_b(b) = 0 and K(minv) = log_b(maxv/minv) = q, so the
+    dynamic range [minv, maxv] exactly fills the q+1 levels.  Anyone whose
+    expected
     per-register exponential draws fall outside the pinned B16/A16 range
     (cardinalities far from the defaults' design point) refits with this.
     Returns (a, b)."""

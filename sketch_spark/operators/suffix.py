@@ -234,7 +234,8 @@ def window_argmin(
             pad[e - s :] = INF
             seg_view = pad
         part = res[s : s + take]
-        _window_argmin_seg(seg_view, w, out=part, n_keep=take)
+        _window_argmin_seg(seg_view, w, out=part, n_keep=take,
+                           exact_geometry=True)
         part += s
         s += S
     return res
@@ -242,7 +243,7 @@ def window_argmin(
 
 def _window_argmin_seg(
     v: np.ndarray, w: int, out: np.ndarray | None = None,
-    n_keep: int | None = None,
+    n_keep: int | None = None, exact_geometry: bool = False,
 ) -> np.ndarray:
     """One-segment two-pass block decomposition (the sliding-window-minimum
     prefix/suffix trick): split v into w-sized blocks, compute per-block
@@ -267,6 +268,17 @@ def _window_argmin_seg(
     # sentinel only needs "nothing is strictly smaller before index 0",
     # which max satisfies together with the explicit is_new[:, 0] = True.
     INF = np.iinfo(v.dtype).max
+    # Arena buffers are keyed by exact shape, so data-dependent nblocks
+    # (direct calls with small inputs: winnow group tails, small batches)
+    # would grow one never-freed buffer set PER DISTINCT SIZE on a
+    # long-lived worker.  Rounding nblocks up to a power of two bounds the
+    # arena to O(log) geometries; extra rows are all-sentinel and every
+    # scan is row-independent, so kept outputs are bit-identical
+    # (property-tested).  The slab driver passes exact_geometry=True — its
+    # segment shape is already constant across slabs and tasks, and pow2
+    # rounding there would double the hot path's footprint.
+    if not exact_geometry and nblocks > 1:
+        nblocks = 1 << (nblocks - 1).bit_length()
     shp = (nblocks, w)
     dt = v.dtype
     vp = _buf("was_vp", shp, dt)

@@ -112,7 +112,10 @@ def _scan(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     the added Exchange; plan properties pinned in tests/test_plans.py).
     """
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    key = (sf_dir, table)
+    # keyed by session like _MEMO: split counts depend on session conf
+    # (defaultParallelism, maxPartitionBytes), and a later session reading
+    # the same path must not inherit a stale census
+    key = (id(spark), sf_dir, table)
     if key not in _SCAN_SPLITS:
         # driver-side split census (computes FilePartitions, runs no job)
         _SCAN_SPLITS[key] = df.rdd.getNumPartitions()

@@ -248,3 +248,36 @@ def test_winnow_char_group_split_bit_identical(spark, monkeypatch):
         for r in S.winnow_fingerprints(conv, "full_text", "conv_id", 120, 30).collect()
     )
     assert base == split and len(base) > 0
+
+
+def test_window_argmin_arena_geometries_bounded():
+    """Data-dependent direct calls must not grow one arena buffer set per
+    distinct input size (review r4): geometries are pow2-bucketed, so ~100
+    distinct sizes leave O(log) distinct was_vp keys; the slab driver's
+    exact canonical geometry is unaffected.  Results stay bit-identical to
+    the naive argmin (padding rows are all-sentinel and row-independent)."""
+    rng = np.random.default_rng(11)
+    w = 151
+    before = {k for k in suffix._ARENA if k[0] == "was_vp"}
+    for n in rng.integers(w, 60_000, size=100):
+        n = int(n)
+        v = rng.integers(0, 7, size=n).astype(np.uint64)
+        got = suffix.window_argmin(v, w)
+        win = np.lib.stride_tricks.sliding_window_view(v, w)
+        want = np.argmin(win, axis=1) + np.arange(win.shape[0])
+        assert np.array_equal(got, want), n
+    new = {k for k in suffix._ARENA if k[0] == "was_vp"} - before
+    # pow2 bucketing: nblocks in [1, ceil(60000/151)=398] -> at most
+    # log2(512)+1 = 10 distinct geometries for this dtype
+    assert len(new) <= 10, sorted(new)
+
+
+def test_window_argmin_seg_exact_geometry_identical():
+    """exact_geometry=True (slab driver) and the default pow2 padding give
+    bit-identical outputs for the same segment."""
+    rng = np.random.default_rng(17)
+    for n, w in ((1000, 151), (777, 31), (50, 7)):
+        v = rng.integers(0, 5, size=n).astype(np.uint64)
+        a = suffix._window_argmin_seg(v.copy(), w).copy()
+        b = suffix._window_argmin_seg(v.copy(), w, exact_geometry=True).copy()
+        assert np.array_equal(a, b), (n, w)

@@ -234,3 +234,28 @@ def test_expanded_one_perm_estimates_weighted_jaccard(spark):
     frac = sum(1 for x, y in zip(got["a"], got["b"]) if x == y) / 128
     jw = MH.weighted_jaccard_py(big_a, big_b)
     assert abs(frac - jw) <= 3 * (jw * (1 - jw) / 128) ** 0.5 + 0.02, (frac, jw)
+
+
+def test_prob_minhash_degenerate_weights_null_not_sentinel(spark):
+    """Rows whose weights are all non-positive/NaN must get a NULL
+    signature (like empty rows), never the all-zero sentinel — two
+    unrelated degenerate rows must not compare as J_P = 1.0 (review r4).
+    Mixed rows simply drop the degenerate elements."""
+    m = 128
+    df = spark.createDataFrame(
+        [
+            ("z1", [{"h": 11, "w": 0.0}, {"h": 22, "w": -1.0}]),
+            ("z2", [{"h": 33, "w": 0.0}, {"h": 44, "w": float("nan")}]),
+            ("mix", [{"h": 101, "w": 2.75}, {"h": 999, "w": 0.0}]),
+            ("ref", [{"h": 101, "w": 2.75}]),
+        ],
+        "conv_id string, minimizers array<struct<h long, w double>>",
+    )
+    got = {
+        r.conv_id: r.psig
+        for r in MH.prob_minhash_np(df, m=m, weight_field="w").collect()
+    }
+    assert got["z1"] is None and got["z2"] is None
+    # zero-weight element contributes nothing: mix == its positive support
+    assert got["mix"] == got["ref"]
+    assert set(got["ref"]) == {101}
