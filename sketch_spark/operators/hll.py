@@ -489,3 +489,89 @@ def pcsa_estimate_col(regs: Column, p: int) -> Column:
         / m
     )
     return F.lit(m * 1.292808) * F.pow(F.lit(2.0), mean)
+
+
+# ---------------------------------------------------------------------------
+# HyperBitBit (hbb.h:17-46; Sedgewick AC11 slides) — the one reference
+# sketch with NO commutative partial+final form: every insert consults the
+# current (logn, s1) state (the promotion cascade), so the fold is
+# inherently sequential and merge/union does not exist.  Provided for API
+# parity as an ORDER-DEFINED sequential fold: callers name the ordering,
+# the fold applies inserts in exactly that order, and equal ordered inputs
+# give equal (logn, s1, s2) words.  For distributed cardinality use the
+# monoidal sketches above (HLL/PCSA); HyperBitBit's niche is tiny-memory
+# (128-bit + counter) per-group estimation over bounded ordered streams.
+# ---------------------------------------------------------------------------
+
+
+def hyperbitbit_fold(hashes) -> tuple[int, int, int]:
+    """Exact HyperBitBit state after inserting `hashes` (64-bit ints,
+    interpreted unsigned) in the given order (hbb.h:28-38): with
+    r = ctz(hv) and k = top 6 bits of hv, every hv with r > logn sets bit
+    k in s1 (and in s2 when r > logn + 1); when s1 exceeds 31 set bits,
+    s1 <- s2, s2 <- 0, logn += 1.  Returns (logn, s1, s2)."""
+    logn, s1, s2 = 5, 0, 0
+    mask = (1 << 64) - 1
+    for hv in hashes:
+        hv &= mask
+        r = (hv & -hv).bit_length() - 1 if hv else 64  # ctz; ctz(0) = 64
+        if r > logn:
+            bit = 1 << (hv >> 58)
+            s1 |= bit
+            if r > logn + 1:
+                s2 |= bit
+            if s1.bit_count() > 31:
+                s1, s2, logn = s2, 0, logn + 1
+    return logn, s1, s2
+
+
+def hyperbitbit_estimate(logn: int, s1: int) -> float:
+    """cardinality_estimate (hbb.h:40-43): 2^(logn + 5.8 + popcount(s1)/32)."""
+    return 2.0 ** (logn + 5.8 + (s1 & ((1 << 64) - 1)).bit_count() / 32.0)
+
+
+def hyperbitbit_groups(
+    df: DataFrame,
+    group_col: str,
+    hash_col: str,
+    ord_col: str | None = None,
+) -> DataFrame:
+    """Per-group HyperBitBit over a DataFrame of hashed elements:
+    (group, hash[, ord]) -> (group, logn, s1, s2, est).
+
+    The fold order is DEFINED as ascending `ord_col` (ties broken by the
+    hash value), or ascending hash value when no ordering column is given —
+    making the result a pure function of the group's multiset + named
+    order, reproducible across runs and partitionings.  Each group's rows
+    are gathered to one task (applyInPandas); that is the honest cost of a
+    non-mergeable sketch — this operator is for MANY bounded groups, not
+    one giant stream (use hll_registers for that).
+    """
+    order = [ord_col, hash_col] if ord_col else [hash_col]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        logn, s1, s2 = hyperbitbit_fold(int(h) for h in pdf[hash_col])
+        # store the u64 words as signed i64 (Spark long), two's complement
+        def i64(x: int) -> int:
+            return x - (1 << 64) if x >= (1 << 63) else x
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "logn": [logn],
+                "s1": [i64(s1)],
+                "s2": [i64(s2)],
+                "est": [hyperbitbit_estimate(logn, s1)],
+            }
+        )
+
+    gt = df.schema[group_col].dataType.simpleString()
+    cols = [group_col, hash_col] + ([ord_col] if ord_col else [])
+    return (
+        df.select(*cols)
+        .groupBy(group_col)
+        .applyInPandas(
+            fold,
+            schema=f"{group_col} {gt}, logn int, s1 long, s2 long, est double",
+        )
+    )

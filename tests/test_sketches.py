@@ -518,3 +518,71 @@ def test_pccm_query_collision_free_exact(spark):
         true = (k + 1) * 9
         assert est[k] == 1 << (true.bit_length() - 1)
         assert est[k] <= true < 2 * est[k]
+
+
+def test_hyperbitbit_fold_semantics():
+    """hbb.h:28-38 parity: inserts below the logn threshold are ignored;
+    the 32nd distinct s1 bit promotes (s1 <- s2, s2 <- 0, logn += 1);
+    estimate = 2^(logn + 5.8 + popcount(s1)/32) (hbb.h:40-43)."""
+    # hv with ctz = r and top-6 = k: hv = (k << 58) | (1 << r)
+    def mk(r, k):
+        return (k << 58) | (1 << r)
+
+    # r <= logn=5: ignored entirely
+    assert hll.hyperbitbit_fold([mk(5, 7), mk(3, 1)]) == (5, 0, 0)
+    # r = 6 sets s1 only; r = 7 sets s1 and s2
+    assert hll.hyperbitbit_fold([mk(6, 3)]) == (5, 1 << 3, 0)
+    assert hll.hyperbitbit_fold([mk(7, 3)]) == (5, 1 << 3, 1 << 3)
+    # 32 distinct k at r=6 (s2 stays 0) -> promotion to (6, 0, 0)
+    seq = [mk(6, k) for k in range(32)]
+    assert hll.hyperbitbit_fold(seq) == (6, 0, 0)
+    # 31 bits at r=6 plus one at r=7: promotion carries the r=7 bit
+    seq = [mk(6, k) for k in range(31)] + [mk(7, 31)]
+    assert hll.hyperbitbit_fold(seq) == (6, 1 << 31, 0)
+    # estimate formula
+    assert hll.hyperbitbit_estimate(5, 0) == 2.0 ** (5 + 5.8)
+    assert hll.hyperbitbit_estimate(6, (1 << 16) - 1) == 2.0 ** (6 + 5.8 + 0.5)
+
+
+def test_hyperbitbit_accuracy_band():
+    """Planted cardinalities under WangHash: the single-word estimator's
+    documented crudeness, bounded to a 2.5x band (the reference ships no
+    tighter test for hbb)."""
+    from sketch_spark.functions.hashing import wanghash_np
+
+    for n in (10_000, 100_000, 1_000_000):
+        hs = wanghash_np(np.arange(1, n + 1, dtype=np.uint64))
+        logn, s1, _ = hll.hyperbitbit_fold(int(h) for h in hs)
+        est = hll.hyperbitbit_estimate(logn, s1)
+        assert n / 2.5 <= est <= n * 2.5, (n, est)
+
+
+def test_hyperbitbit_groups_matches_fold_and_is_partition_invariant(spark):
+    """The Spark group form folds in the NAMED order (ord asc, hash tie),
+    so it must equal the driver-side fold on the same sorted rows and be
+    byte-identical across repartitionings."""
+    from sketch_spark.functions.hashing import wanghash_np
+
+    rng = np.random.default_rng(23)
+    rows = []
+    truth = {}
+    for g in ("a", "b", "c"):
+        n = int(rng.integers(200, 2000))
+        hs = wanghash_np(rng.integers(1, 1 << 62, size=n, dtype=np.uint64))
+        order = np.arange(n)
+        rng.shuffle(order)
+        srt = sorted(zip(order.tolist(), (int(h) for h in hs)))
+        logn, s1, s2 = hll.hyperbitbit_fold(h for _, h in srt)
+        def i64(x):
+            return x - (1 << 64) if x >= (1 << 63) else x
+        truth[g] = (logn, i64(s1), i64(s2))
+        rows += [(g, i64(int(h)), int(o)) for h, o in zip(hs, order.tolist())]
+    df = spark.createDataFrame(rows, "g string, h long, ord long")
+    for parts in (1, 7):
+        got = {
+            r.g: (r.logn, r.s1, r.s2)
+            for r in hll.hyperbitbit_groups(
+                df.repartition(parts), "g", "h", "ord"
+            ).collect()
+        }
+        assert got == truth, parts
