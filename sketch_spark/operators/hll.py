@@ -550,14 +550,17 @@ def hyperbitbit_groups(
     order = [ord_col, hash_col] if ord_col else [hash_col]
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
+        key = pdf[group_col].iloc[0]
+        # null hashes make pandas lift the long column to float64; they
+        # carry no element, so drop them before the integer fold
+        pdf = pdf.dropna(subset=[hash_col]).sort_values(order, kind="mergesort")
         logn, s1, s2 = hyperbitbit_fold(int(h) for h in pdf[hash_col])
         # store the u64 words as signed i64 (Spark long), two's complement
         def i64(x: int) -> int:
             return x - (1 << 64) if x >= (1 << 63) else x
         return pd.DataFrame(
             {
-                group_col: [pdf[group_col].iloc[0]],
+                group_col: [key],
                 "logn": [logn],
                 "s1": [i64(s1)],
                 "s2": [i64(s2)],
