@@ -319,3 +319,90 @@ def quantiles(
             F.col(value_col), [F.lit(p) for p in probs], F.lit(accuracy)
         ).alias("quantiles")
     )
+
+
+# ---------------------------------------------------------------------------
+# LPCQF — counting quotient filter (lpcqf.h:129-520).
+#
+# The reference packs each slot as (signature << countbits) | count and
+# resolves bucket collisions by linear/quadratic probing (update_hashed,
+# lpcqf.h:385-470).  Its *logical* content — what count_estimate()
+# (lpcqf.h:342-370) answers from — is a count per (bucket, signature):
+# items sharing both the bucket (hash mod nregs) and the sigbits-bit
+# signature share a counter (the structure's false-positive mode); items
+# sharing only the bucket get distinct probe slots, i.e. distinct logical
+# cells.  Probing and bit-packing are single-node storage layout; the
+# relational form keys cells by (bucket, sig) directly, so partial+final
+# groupBy aggregation IS the reference's ingest + operator+= merge
+# (lpcqf.h:300-324: equal-sig cells add their counts).
+#
+# The reference's default hasher (lpcqf.h:231-240) is Thomas Wang's
+# 64-bit mix — bit-identical to functions.hashing.wanghash_col.
+# Count representation: exact 64-bit (the IS_APPROXINC Morris-counter
+# mode is covered by pccm_quantize_col/pccm_est_col above — same
+# log-domain encoding, composable by callers that want it).
+# ---------------------------------------------------------------------------
+
+
+def _lpcqf_cell(key: Column, nregs: int, sigbits: int,
+                hash_fn: Callable[[Column], Column] | None = None):
+    if hash_fn is None:
+        from sketch_spark.functions.hashing import wanghash_col
+
+        hash_fn = wanghash_col
+    hv = hash_fn(key)
+    bucket = F.pmod(hv, F.lit(nregs))
+    sig = hv.bitwiseAND(F.lit((1 << sigbits) - 1)) if sigbits else F.lit(0)
+    return bucket, sig
+
+
+def lpcqf_sketch(
+    elems: DataFrame,
+    key_col: str,
+    nregs: int = 1 << 16,
+    sigbits: int = 8,
+    weight_col: str | None = None,
+    hash_fn: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """Build the logical LPCQF: (bucket, sig, cnt) cells.
+
+    weight_col: optional per-row count (update(item, count) form,
+    lpcqf.h:471-478); default 1 per row."""
+    bucket, sig = _lpcqf_cell(F.col(key_col), nregs, sigbits, hash_fn)
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        elems.select(bucket.alias("bucket"), sig.alias("sig"), w.alias("_w"))
+        .groupBy("bucket", "sig")
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+    )
+
+
+def lpcqf_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    nregs: int = 1 << 16,
+    sigbits: int = 8,
+    hash_fn: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """count_estimate (lpcqf.h:342-370): look up the (bucket, sig) cell;
+    absent cell -> 0.  Broadcast the (bounded, <= nregs-slot) sketch."""
+    bucket, sig = _lpcqf_cell(F.col(key_col), nregs, sigbits, hash_fn)
+    probes = keys.select(
+        F.col(key_col), bucket.alias("bucket"), sig.alias("sig")
+    )
+    return probes.join(
+        F.broadcast(sketch), on=["bucket", "sig"], how="left"
+    ).select(
+        key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("est_count")
+    )
+
+
+def lpcqf_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """inner_product (lpcqf.h:243-298): sum of count products over cells
+    whose bucket AND signature match — the sketch's join-size estimate."""
+    return (
+        a.alias("a")
+        .join(b.alias("b"), on=["bucket", "sig"])
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("inner_product"))
+    )

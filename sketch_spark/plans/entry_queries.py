@@ -1949,6 +1949,166 @@ FROM q
 
 
 # ---------------------------------------------------------------------------
+# q38 — ntcard coverage-counter table (Card/VecCard, mult.h:178-337)
+#        through operators/ntcard.ntcard_buckets over the portable 60-bit
+#        hash: keep h iff its top NT_P bits are zero (2^-p sampling),
+#        selector bit = bit (60-NT_P-1), bucket = low NT_R bits
+#        (+ 2^NT_R for the second half), counters saturate at NT_MAXCNT.
+#        Register-exact — saturating unit increments commute with
+#        clamping the exact count.  The report() recursion (estimate) is
+#        pytest-gated (tests/test_ntcard_lpcqf_vac.py) — a recursive
+#        convolution has no portable SQL form.
+# ---------------------------------------------------------------------------
+
+NT_R, NT_P, NT_MAXCNT = 6, 2, 7
+
+
+def q38_ntcard_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.ntcard import ntcard_buckets
+
+    e = _scan(spark, sf_dir, "events")
+    h1 = (F.lit(HA1) * F.col("user_id") + F.lit(HB1)) % F.lit(HP30)
+    h2 = (F.lit(HA2) * F.col("user_id") + F.lit(HB2)) % F.lit(HP30)
+    h60 = h1 * F.lit(1 << 30) + h2
+    elems = e.select(F.col("event_type").alias("g"), h60.alias("h"))
+    b = ntcard_buckets(
+        elems, "g", "h", r=NT_R, p=NT_P, maxcnt=NT_MAXCNT, hash_bits=60
+    )
+    return b.select(
+        F.col("g").alias("event_type"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").alias("cnt"),
+    )
+
+
+Q38_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+    (({HA1} * user_id + {HB1}) % {HP30}) * {1 << 30}
+      + (({HA2} * user_id + {HB2}) % {HP30}) AS h60
+  FROM events
+), k AS (
+  SELECT event_type,
+    (h60 % {1 << NT_R})
+      + ((h60 // {1 << (60 - NT_P - 1)}) % 2) * {1 << NT_R} AS bucket
+  FROM h WHERE h60 // {1 << (60 - NT_P)} = 0
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+  CAST(least(count(*), {NT_MAXCNT}) AS BIGINT) AS cnt
+FROM k GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q39 — LPCQF point-frequency estimates (lpcqf.h:129-520) through the real
+#        lpcqf_sketch / lpcqf_query operators: cells keyed by
+#        (h mod LP_NREGS, h & (2^LP_SIGBITS - 1)) — LP_NREGS is prime so
+#        bucket and signature bits stay independent — probed for every
+#        customer key; absent cell -> 0 (count_estimate, lpcqf.h:342-370).
+#        Estimates upper-bound true counts (sig-collision false positives
+#        are the structure's contract, preserved exactly).
+# ---------------------------------------------------------------------------
+
+LP_NREGS, LP_SIGBITS = 61, 4
+
+
+def _lp_hash(key: Column) -> Column:
+    h1 = (F.lit(HA1) * key + F.lit(HB1)) % F.lit(HP30)
+    h2 = (F.lit(HA2) * key + F.lit(HB2)) % F.lit(HP30)
+    return h1 * F.lit(1 << 30) + h2
+
+
+_LP_SQL_H = (
+    f"(({HA1} * {{key}} + {HB1}) % {HP30}) * {1 << 30}"
+    f" + (({HA2} * {{key}} + {HB2}) % {HP30})"
+)
+
+
+def q39_lpcqf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.frequency import lpcqf_query, lpcqf_sketch
+
+    o = _scan(spark, sf_dir, "orders").select("o_custkey")
+    c = _scan(spark, sf_dir, "customer").select("c_custkey")
+    sk = lpcqf_sketch(
+        o, "o_custkey", nregs=LP_NREGS, sigbits=LP_SIGBITS, hash_fn=_lp_hash
+    )
+    est = lpcqf_query(
+        sk, c, "c_custkey", nregs=LP_NREGS, sigbits=LP_SIGBITS, hash_fn=_lp_hash
+    )
+    return est.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("est_count").alias("est_count"),
+    )
+
+
+Q39_SQL = f"""
+WITH oh AS (SELECT {_LP_SQL_H.format(key="o_custkey")} AS h60 FROM orders),
+cells AS (SELECT h60 % {LP_NREGS} AS bucket, h60 % {1 << LP_SIGBITS} AS sig,
+            count(*) AS cnt
+          FROM oh GROUP BY 1, 2),
+ch AS (SELECT c_custkey, {_LP_SQL_H.format(key="c_custkey")} AS h60
+       FROM customer)
+SELECT CAST(ch.c_custkey AS BIGINT) AS c_custkey,
+  CAST(coalesce(cells.cnt, 0) AS BIGINT) AS est_count
+FROM ch LEFT JOIN cells
+  ON ch.h60 % {LP_NREGS} = cells.bucket
+ AND ch.h60 % {1 << LP_SIGBITS} = cells.sig
+"""
+
+
+# ---------------------------------------------------------------------------
+# q40 — VACSketch cascade profile (vac.h:16-125) through operators/vac:
+#        level i receives a 2^-i sample of OCCURRENCES (draw = portable
+#        hash of the unique event_id, replacing the reference's
+#        thread-local RNG with a deterministic per-occurrence draw — same
+#        uniform law, reproducible/mergeable); per (event_type, level) the
+#        exact-distinct base sketch (vac_distinct).  The HLL instantiation
+#        (HVAC, vac.h:118) is pytest-gated register-exact.
+# ---------------------------------------------------------------------------
+
+VAC_N = 6
+
+
+def q40_vac_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.vac import vac_distinct
+
+    e = _scan(spark, sf_dir, "events")
+    draw = (
+        (F.lit(HA1) * F.col("event_id") + F.lit(HB1)) % F.lit(HP30)
+    ) * F.lit(1 << 30) + (
+        (F.lit(HA2) * F.col("event_id") + F.lit(HB2)) % F.lit(HP30)
+    )
+    elems = e.select("event_type", "user_id", draw.alias("u"))
+    prof = vac_distinct(
+        elems, "event_type", "user_id", "u", n=VAC_N, hash_bits=60
+    )
+    return prof.select(
+        F.col("g").alias("event_type"),
+        F.col("level").cast("long").alias("level"),
+        F.col("n_occurrences"),
+        F.col("n_distinct"),
+    )
+
+
+Q40_SQL = f"""
+WITH h AS (
+  SELECT event_type, user_id,
+    (({HA1} * event_id + {HB1}) % {HP30}) * {1 << 30}
+      + (({HA2} * event_id + {HB2}) % {HP30}) AS u
+  FROM events
+), lv AS (
+  SELECT event_type, user_id, CAST(t.i AS BIGINT) AS level
+  FROM h, unnest(range(0, {VAC_N})) AS t(i)
+  WHERE u % (1 << t.i) = 0
+)
+SELECT event_type, level,
+  CAST(count(*) AS BIGINT) AS n_occurrences,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM lv GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1990,6 +2150,9 @@ QUERIES = {
     "q35_shrivastava_registers": q35_shrivastava_registers,
     "q36_tfidf_walk": q36_tfidf_walk,
     "q37_pccm_registers": q37_pccm_registers,
+    "q38_ntcard_buckets": q38_ntcard_buckets,
+    "q39_lpcqf_counts": q39_lpcqf_counts,
+    "q40_vac_cascade": q40_vac_cascade,
 }
 
 ORACLES = {
@@ -2030,4 +2193,7 @@ ORACLES = {
     "q35_shrivastava_registers": Q35_SQL,
     "q36_tfidf_walk": Q36_SQL,
     "q37_pccm_registers": Q37_SQL,
+    "q38_ntcard_buckets": Q38_SQL,
+    "q39_lpcqf_counts": Q39_SQL,
+    "q40_vac_cascade": Q40_SQL,
 }

@@ -159,3 +159,39 @@ def test_q37_pccm_cells_aggregate_partially(spark):
     plan = _plan(EQ.QUERIES["q37_pccm_registers"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_q38_ntcard_sampling_filter_precedes_shuffle(spark):
+    """ntcard's whole point at 10^12 rows: the 2^-p prefix filter runs
+    map-side BEFORE the bucket groupBy, so the exchange carries only the
+    sampled stream; counts partial-aggregate; no Python anywhere."""
+    from sketch_spark.plans import entry_queries as EQ
+
+    plan = _plan(EQ.QUERIES["q38_ntcard_buckets"](spark, SF))
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the filter must sit under the exchange (map side), not above it
+    exch = plan.index("Exchange")
+    assert "Filter" in plan[exch:], "sampling filter missing"
+    assert plan.rindex("Filter") > exch  # deepest (printed last) = below
+
+
+def test_q39_lpcqf_probe_broadcasts_sketch(spark):
+    """The LPCQF cell table is bounded by nregs — the probe join must
+    broadcast it, never shuffle the (unbounded) key side."""
+    from sketch_spark.plans import entry_queries as EQ
+
+    plan = _plan(EQ.QUERIES["q39_lpcqf_counts"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q40_vac_levels_stay_jvm_and_partial_agg(spark):
+    """The cascade explode+filter is pure codegen (no Python), and the
+    per-(group, level) counts partial-aggregate before the exchange."""
+    from sketch_spark.plans import entry_queries as EQ
+
+    plan = _plan(EQ.QUERIES["q40_vac_cascade"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan
