@@ -60,14 +60,21 @@ def vac_levels(
     expansion, shuffled only by the downstream base-sketch aggregation.
     """
     u = F.col(draw_col)
-    lv = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("level")
-    ex = elems.select("*", lv)
+    # Level membership is a contiguous prefix 0..end-1 (both laws are
+    # monotone in i), so compute `end` per row as a statically-unrolled
+    # codegen sum of n-1 booleans and explode EXACTLY the kept rows —
+    # the generated stream is sum_i base^-i * N ~ N*base/(base-1) rows
+    # (2N for base 2), NOT the n*N explode-then-filter a naive cascade
+    # pays (at 10^12 elements and n=16 that is an 8x generated-row cut
+    # in this stage; everything stays whole-stage codegen, no Python).
     if base == 2.0:
-        # u mod 2^i == 0  <=>  (u & (2^i - 1)) == 0.  bitwiseAND (not pmod)
-        # so negative longs reinterpret as the same uint64 bit pattern;
-        # masks come from a literal array (JVM shifts take literal widths).
-        masks = F.array(*[F.lit((1 << i) - 1) for i in range(n)])
-        keep = u.bitwiseAND(F.element_at(masks, F.col("level") + 1)) == 0
+        # level i reached  <=>  u mod 2^i == 0  <=>  (u & (2^i-1)) == 0.
+        # bitwiseAND (not pmod) so negative longs reinterpret as the same
+        # uint64 bit pattern (the reference draw is a full uint64).
+        terms = [
+            (u.bitwiseAND(F.lit((1 << i) - 1)) == 0).cast("int")
+            for i in range(1, n)
+        ]
     else:
         # power path: compare a 62-bit slice of the draw against the
         # reference lut (construct_power_table, vac.h:60-72) scaled to
@@ -76,10 +83,13 @@ def vac_levels(
         bits = min(hash_bits, 62)
         thr = vac_level_thresholds(base, n, hash_bits=bits)
         u62 = u.bitwiseAND(F.lit((1 << bits) - 1))
-        keep = u62 < F.element_at(
-            F.array(*[F.lit(t) for t in thr]), F.col("level") + 1
-        )
-    return ex.where(keep)
+        terms = [(u62 < F.lit(thr[i])).cast("int") for i in range(1, n)]
+    end = F.lit(1)
+    for t in terms:
+        end = end + t
+    return elems.select(
+        "*", F.explode(F.sequence(F.lit(0), end - 1)).alias("level")
+    )
 
 
 def vac_hll(
