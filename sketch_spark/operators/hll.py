@@ -578,3 +578,96 @@ def hyperbitbit_groups(
             schema=f"{group_col} {gt}, logn int, s1 long, s2 long, est double",
         )
     )
+
+
+def hyperhyperbitbit_fold(quotients) -> tuple[int, int, int]:
+    """Exact per-shard HyperHyperBitBit state (hbb.h:91-110) over the
+    shard's QUOTIENT stream (v // n, in fold order): r = ctz(v); every v
+    with r > logn sets bit ((v >> (r+1)) % 64) in s1 (and s2 when
+    r > logn + 1); when s1 exceeds 31 set bits, s1 <- s2, s2 <- 0,
+    logn += 1.  Differs from plain HyperBitBit in the bit-index rule
+    (quotient bits above the ctz run, not the top-6 bits)."""
+    logn, s1, s2 = 5, 0, 0
+    mask = (1 << 64) - 1
+    for v in quotients:
+        v &= mask
+        r = (v & -v).bit_length() - 1 if v else 64
+        if r > logn:
+            bit = 1 << ((v >> (r + 1)) % 64)
+            s1 |= bit
+            if r > logn + 1:
+                s2 |= bit
+            if s1.bit_count() > 31:
+                s1, s2, logn = s2, 0, logn + 1
+    return logn, s1, s2
+
+
+def hyperhyperbitbit_groups(
+    df: DataFrame,
+    group_col: str,
+    hash_col: str,
+    n: int = 64,
+    ord_col: str | None = None,
+) -> DataFrame:
+    """Per-group HyperHyperBitBit (hbb.h:78-134): n sub-HyperBitBits
+    sharded by hv % n, each folding hv // n — the reference's own answer
+    to HyperBitBit's single-stream statefulness, and exactly the form
+    that distributes: shards are INDEPENDENT order-defined folds
+    (applyInPandas per (group, shard), n-way parallel) followed by a
+    tiny <=n-row per-group combine implementing report() (hbb.h:111-131):
+    cinc_i = popcount(s1_i)/32 + 6.43 + logn_i, est = n^2 / sum(2^-cinc_i)
+    (the `ies` harmonic form report() returns).  Empty shards contribute
+    their initial state (logn=5, s1=0), as in the reference.
+
+    Fold order within a shard is DEFINED as ascending (ord_col, hash)
+    like hyperbitbit_groups — reproducible across runs and partitionings.
+    Output: (group, est) with the per-shard states aggregated away.
+    """
+    order = [ord_col, hash_col] if ord_col else [hash_col]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[group_col].iloc[0]
+        shard = int(pdf["_shard"].iloc[0])
+        pdf = pdf.dropna(subset=[hash_col]).sort_values(order, kind="mergesort")
+        mask = (1 << 64) - 1
+        logn, s1, _ = hyperhyperbitbit_fold(
+            (int(h) & mask) // n for h in pdf[hash_col]
+        )
+        return pd.DataFrame(
+            {group_col: [key], "_shard": [shard], "logn": [logn],
+             "pc": [s1.bit_count()]}
+        )
+
+    gt = df.schema[group_col].dataType.simpleString()
+    cols = [group_col, hash_col] + ([ord_col] if ord_col else [])
+    # unsigned hv % n on signed longs, overflow-free: with u = uint64(hv),
+    # u = (u >>> 1)*2 + (u & 1), so u mod n = ((u>>>1 mod n)*2 + (u&1)) mod n
+    # — every intermediate fits a long and the expression is pure codegen.
+    hv = F.col(hash_col)
+    shard = F.pmod(
+        F.pmod(F.shiftrightunsigned(hv, 1), F.lit(n)) * 2
+        + hv.bitwiseAND(F.lit(1)),
+        F.lit(n),
+    ).cast("int")
+    states = (
+        df.select(*cols)
+        .withColumn("_shard", shard)
+        .groupBy(group_col, "_shard")
+        .applyInPandas(
+            fold,
+            schema=f"{group_col} {gt}, _shard int, logn int, pc int",
+        )
+    )
+    # report(): empty shards contribute 2^-(5 + 6.43); n - count(present)
+    # of them.  All codegen: one tiny agg over <= n rows per group.
+    cinc = F.col("pc") / F.lit(32.0) + F.lit(6.43) + F.col("logn")
+    empty_term = F.pow(F.lit(2.0), F.lit(-(5 + 6.43)))
+    return states.groupBy(group_col).agg(
+        (
+            F.lit(float(n * n))
+            / (
+                F.sum(F.pow(F.lit(2.0), -cinc))
+                + (F.lit(n) - F.count(F.lit(1))) * empty_term
+            )
+        ).alias("est")
+    )

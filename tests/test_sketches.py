@@ -586,3 +586,49 @@ def test_hyperbitbit_groups_matches_fold_and_is_partition_invariant(spark):
             ).collect()
         }
         assert got == truth, parts
+
+
+def test_hyperhyperbitbit_matches_literal_twin(spark):
+    """hyperhyperbitbit_groups == a literal python twin of hbb.h:78-134
+    (shard by u mod n, fold u // n per shard with the HHBB bit rule,
+    report via the ies harmonic form), partition-invariant under the
+    defined order; estimate lands in a sane band on 200k distinct."""
+    import numpy as np
+
+    from sketch_spark.operators import hll
+    from sketch_spark.functions.hashing import wanghash_np
+
+    rng = np.random.default_rng(99)
+    n = 64
+    rows, truth = [], {}
+    for g, sz in (("a", 5_000), ("b", 200_000)):
+        hs = wanghash_np(rng.integers(1, 1 << 62, size=sz, dtype=np.uint64))
+        # literal twin: shard, per-shard ordered fold (order = ascending
+        # hash, the operator's default), report()
+        shards: dict[int, list[int]] = {}
+        for h in sorted(int(x) for x in hs):
+            shards.setdefault(h % n, []).append(h // n)
+        tot = 0.0
+        for i in range(n):
+            logn, s1, _ = hll.hyperhyperbitbit_fold(shards.get(i, []))
+            tot += 2.0 ** -(bin(s1).count("1") / 32.0 + 6.43 + logn)
+        truth[g] = n * n / tot
+
+        def i64(x):
+            return x - (1 << 64) if x >= (1 << 63) else x
+
+        rows += [(g, i64(int(h))) for h in hs]
+
+    df = spark.createDataFrame(rows, "g string, h long")
+    for parts in (1, 7):
+        got = {
+            r.g: r.est
+            for r in hll.hyperhyperbitbit_groups(
+                df.repartition(parts), "g", "h", n=n
+            ).collect()
+        }
+        for g in truth:
+            assert abs(got[g] - truth[g]) / truth[g] < 1e-9, (g, parts)
+    # loose accuracy band (the reference publishes no tolerance for the
+    # 6.43-constant ies estimator; this pins gross sanity, not calibration)
+    assert 0.3 < got["b"] / 200_000 < 3.0
