@@ -384,16 +384,39 @@ def lpcqf_query(
     nregs: int = 1 << 16,
     sigbits: int = 8,
     hash_fn: Callable[[Column], Column] | None = None,
+    broadcast_sketch: bool | None = None,
 ) -> DataFrame:
     """count_estimate (lpcqf.h:342-370): look up the (bucket, sig) cell;
-    absent cell -> 0.  Broadcast the (bounded, <= nregs-slot) sketch."""
+    absent cell -> 0.
+
+    Join strategy: the reference structure is nregs slots of memory, and
+    the relational cell count is bounded by min(distinct keys,
+    nregs * 2^sigbits) — small nregs (the usual sizing: the user is
+    sizing memory) means a broadcastable table, but a table sized for
+    10^8+ keys must NOT be forced through a broadcast.  Auto policy:
+    broadcast iff nregs <= 2^22 (~copyable per executor); AQE still picks
+    a broadcast on its own when runtime stats allow.  Override with
+    broadcast_sketch."""
     bucket, sig = _lpcqf_cell(F.col(key_col), nregs, sigbits, hash_fn)
     probes = keys.select(
         F.col(key_col), bucket.alias("bucket"), sig.alias("sig")
     )
-    return probes.join(
-        F.broadcast(sketch), on=["bucket", "sig"], how="left"
-    ).select(
+    if broadcast_sketch is None:
+        broadcast_sketch = nregs <= (1 << 22)
+    if broadcast_sketch:
+        rhs = F.broadcast(sketch)
+    else:
+        # big sketch, point-probe set: never sort/shuffle the cell table
+        # against a small probe side — semi-filter the cells with a
+        # broadcast of the probe keys (one map-side pass over the cells),
+        # then the surviving cells (<= #probes rows) broadcast back for
+        # the outer join.  Probe sets too large to broadcast should join
+        # the sketch DataFrame directly instead of using this helper.
+        pk = probes.select("bucket", "sig").distinct()
+        rhs = F.broadcast(
+            sketch.join(F.broadcast(pk), on=["bucket", "sig"], how="left_semi")
+        )
+    return probes.join(rhs, on=["bucket", "sig"], how="left").select(
         key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("est_count")
     )
 

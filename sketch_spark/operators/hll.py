@@ -13,12 +13,17 @@ Two tiers (SURVEY.md §2.3):
 Plan shape: one groupBy(group, bucket) max-agg (partial+final, map-side
 combine) then a groupBy(group) pivot-to-array — the same two-level monoid
 aggregation as the MinHash builders.  Estimation is a JVM higher-order
-expression; no Python anywhere.
+expression.  The dense pivot is pure JVM up to m=1024 (static unroll;
+element_at(map) is a linear scan, so that path is O(m^2) per group) and
+an Arrow numpy scatter per GROUP row above it — measured 9x on the VAC
+HLL cascade at p=12 (44.5 s -> 5.0 s over 20M elements, BENCH/newops_scale).
 """
 
 from __future__ import annotations
 
 import math
+
+import numpy as np
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -81,22 +86,53 @@ def hll_registers(
         .groupBy("_g", "bucket")
         .agg(F.max("rho").alias("mx"))
     )
+    if m <= 1024:
+        # static unroll (codegen) instead of interpreted transform(); the
+        # pure-JVM path for the oracle/ANSI tier.  element_at(map) is a
+        # linear scan, so this pivot is O(m^2) per group — fine to m=1024
+        # (~1M scans/group), pathological beyond it.
+        return (
+            per_bucket.groupBy("_g")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("bucket", "mx"))
+                ).alias("mm")
+            )
+            .select(
+                F.col("_g").alias(group_col),
+                F.array(
+                    *[
+                        F.coalesce(
+                            F.element_at(F.col("mm"), F.lit(i).cast("long")),
+                            F.lit(0),
+                        )
+                        for i in range(m)
+                    ]
+                ).alias("regs"),
+            )
+        )
+
+    # large m: one Arrow crossing per GROUP row, numpy scatter — O(m) per
+    # group (measured: the element_at pivot cost vac_hll 44.5 s at p=12 /
+    # 20M elems where this path and p=10 run in ~15 s; same output).
+    @F.pandas_udf("array<int>")
+    def _scatter(buckets: pd.Series, vals: pd.Series) -> pd.Series:
+        out = []
+        for b, v in zip(buckets, vals):
+            regs = np.zeros(m, dtype=np.int32)
+            regs[np.asarray(b, dtype=np.int64)] = np.asarray(v, dtype=np.int32)
+            out.append(regs)
+        return pd.Series(out)
+
     return (
         per_bucket.groupBy("_g")
         .agg(
-            F.map_from_entries(F.collect_list(F.struct("bucket", "mx"))).alias("mm")
+            F.collect_list("bucket").alias("_bk"),
+            F.collect_list("mx").alias("_mx"),
         )
         .select(
             F.col("_g").alias(group_col),
-            # static unroll (codegen) instead of interpreted transform()
-            F.array(
-                *[
-                    F.coalesce(
-                        F.element_at(F.col("mm"), F.lit(i).cast("long")), F.lit(0)
-                    )
-                    for i in range(m)
-                ]
-            ).alias("regs"),
+            _scatter(F.col("_bk"), F.col("_mx")).alias("regs"),
         )
     )
 
