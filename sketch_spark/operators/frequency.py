@@ -346,6 +346,12 @@ def quantiles(
 
 def _lpcqf_cell(key: Column, nregs: int, sigbits: int,
                 hash_fn: Callable[[Column], Column] | None = None):
+    # bucket ids are internal — only WHICH KEYS COLLIDE matters, and build
+    # and probe use this same mapping.  For non-power-of-2 nregs, signed
+    # pmod differs from the reference's uint64 mod on negative hashes
+    # (for pow2 nregs, and for the sig bits, the low-bit masks agree
+    # exactly); the collision structure is an equally uniform hash
+    # partition either way.
     if hash_fn is None:
         from sketch_spark.functions.hashing import wanghash_col
 

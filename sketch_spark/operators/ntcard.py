@@ -135,5 +135,6 @@ def ntcard_estimate(
              "f_i": [f[1:].astype(np.float64)]}
         )
 
-    schema = "g string, f0 double, f_i array<double>"
+    gt = buckets.schema["g"].dataType.simpleString()
+    schema = f"g {gt}, f0 double, f_i array<double>"
     return buckets.groupBy("g").applyInPandas(solve, schema=schema)
