@@ -105,7 +105,9 @@ def vac_hll(
     """The HVAC instantiation (vac.h:118: VACSketch<hll_t>): per
     (group, level) HLL register arrays over the key hash.  Returns
     (g, level, regs) — merge across partitions/datasets is the standard
-    register max, per level."""
+    register max, per level.  NB: g comes back as a STRING (the group key
+    rides through the register agg as a composite string); cast on the
+    way out if the caller's group column is numeric."""
     from sketch_spark.operators.hll import hll_registers
 
     lv = vac_levels(elems, draw_col, n, base=base, hash_bits=hash_bits)
