@@ -99,6 +99,11 @@ def connected_components(
     for _ in range(max_iter):
         iters += 1
         edges = _small_star(_large_star(edges)).localCheckpoint()
+        # NB: the superseded iteration's checkpoint blocks are NOT freeable
+        # here — DataFrame.unpersist() only touches CacheManager entries,
+        # not localCheckpoint RDDs (verified: the persistentRDDs map is
+        # unchanged by it).  They are bounded (edges shrink per round) and
+        # the ContextCleaner reclaims them once the plan references drop.
         sig = _signature(edges)
         if sig == prev_sig:
             break

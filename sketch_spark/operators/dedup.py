@@ -244,15 +244,30 @@ class DedupPipeline:
 
     def substr_stage(self, conv: DataFrame) -> DataFrame:
         cfg = self.cfg
-        return self.ckpt.run(
+        out = self.ckpt.run(
             "substr",
             lambda: suffix.substring_pairs(
                 conv, "full_text", "cid", cfg.substring_L, cfg.substring_k
             ),
         )
+        # the stage result is materialized (pinned or parquet) by ckpt.run;
+        # the internal fingerprint cache has served its three consumers
+        suffix.release_pins()
+        return out
+
+    def unpersist_all(self) -> None:
+        """Release every block this pipeline pinned (stage caches, the
+        canonical mapping, and the substr stage's internal fingerprint
+        cache).  Long-lived sessions embedding the pipeline should call
+        this once the run's outputs are consumed."""
+        self.ckpt.unpersist_all()
+        suffix.release_pins()
 
     # -- full run ----------------------------------------------------------
     def run(self, t: DataFrame) -> dict[str, DataFrame]:
+        # a re-run on the same pipeline object must not stack a second set
+        # of pinned stage blocks on top of the first
+        self.ckpt.unpersist_all()
         conv = self.conv_stage(t)
         sig = self.sig_stage(conv)
         exact = self.exact_stage(conv)
@@ -291,11 +306,13 @@ class DedupPipeline:
                 F.col("cid").alias("_ccid"),
                 F.col("conv_id").alias("canonical_conv_id"),
             )
-            canonical = lab.join(canon, "_ccid").select(
-                "conv_id",
-                F.col("canonical_conv_id").alias("cluster_id"),
-                "canonical_conv_id",
-            ).persist()
+            canonical = self.ckpt.pin(
+                lab.join(canon, "_ccid").select(
+                    "conv_id",
+                    F.col("canonical_conv_id").alias("cluster_id"),
+                    "canonical_conv_id",
+                )
+            )
             canonical.count()
             return canonical, iters
 

@@ -587,9 +587,7 @@ def hyperbitbit_groups(
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[group_col].iloc[0]
-        # null hashes make pandas lift the long column to float64; they
-        # carry no element, so drop them before the integer fold
-        pdf = pdf.dropna(subset=[hash_col]).sort_values(order, kind="mergesort")
+        pdf = pdf.sort_values(order, kind="mergesort")
         logn, s1, s2 = hyperbitbit_fold(int(h) for h in pdf[hash_col])
         # store the u64 words as signed i64 (Spark long), two's complement
         def i64(x: int) -> int:
@@ -606,8 +604,13 @@ def hyperbitbit_groups(
 
     gt = df.schema[group_col].dataType.simpleString()
     cols = [group_col, hash_col] + ([ord_col] if ord_col else [])
+    # Null hashes carry no element, and they must be dropped SPARK-side:
+    # a null in an Arrow int64 batch makes pandas lift the whole column to
+    # float64, rounding every hash >= 2^53 before the fold reads its low
+    # (ctz) bits.  Filtering here keeps the pandas column int64.
     return (
         df.select(*cols)
+        .where(F.col(hash_col).isNotNull())
         .groupBy(group_col)
         .applyInPandas(
             fold,
@@ -664,7 +667,7 @@ def hyperhyperbitbit_groups(
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[group_col].iloc[0]
         shard = int(pdf["_shard"].iloc[0])
-        pdf = pdf.dropna(subset=[hash_col]).sort_values(order, kind="mergesort")
+        pdf = pdf.sort_values(order, kind="mergesort")
         mask = (1 << 64) - 1
         logn, s1, _ = hyperhyperbitbit_fold(
             (int(h) & mask) // n for h in pdf[hash_col]
@@ -685,8 +688,12 @@ def hyperhyperbitbit_groups(
         + hv.bitwiseAND(F.lit(1)),
         F.lit(n),
     ).cast("int")
+    # Spark-side null-hash drop for the same reason as hyperbitbit_groups:
+    # a null in any (group, shard) Arrow batch would lift the hash column
+    # to float64 and round the quotient stream before its ctz bits.
     states = (
         df.select(*cols)
+        .where(hv.isNotNull())
         .withColumn("_shard", shard)
         .groupBy(group_col, "_shard")
         .applyInPandas(

@@ -212,19 +212,22 @@ def overlap_join_hybrid(
     hot = dft.where(
         F.col("_df") > max(frac * df_threshold / 2.0, 1.0)
     ).select(*bc, "_e")
-    # Materialize the routing set ONCE (persist + count, the repo-standard
-    # pattern — localCheckpoint raises INTERNAL_ERROR on plans containing
-    # PythonUDF in Spark 4.1, and q15/q20 feed gram sets built by
-    # mapInPandas): `hot` is otherwise re-evaluated by isEmpty(), the
-    # anti-join AND the semi-join below, and a seeded sample is only
-    # deterministic for a fixed partition layout — a task retry or an
-    # upstream round-robin repartition can re-draw it, letting the two
-    # joins see DIFFERENT hot sets, which would route an element into
-    # neither branch and silently drop qualifying pairs.  The set is tiny
-    # (H <= 2·Σdf/df_threshold by construction) so pinning it is a bounded
-    # control-plane cost, and it also removes the 3x census recompute.
-    hot = hot.persist()
-    hot.count()
+    # Materialize the routing set ONCE, driver-side: `hot` is otherwise
+    # re-evaluated by the emptiness check, the anti-join AND the semi-join
+    # below, and a seeded sample is only deterministic for a fixed
+    # partition layout — a task retry or an upstream round-robin
+    # repartition can re-draw it, letting the two joins see DIFFERENT hot
+    # sets, which would route an element into neither branch and silently
+    # drop qualifying pairs.  The set is bounded (H <= 2·Σdf/df_threshold
+    # by construction) and is broadcast to both joins anyway — and a
+    # broadcast collects to the driver internally, so this explicit
+    # collect is the same memory class it already pays.  Rebuilding it as
+    # a literal local relation (no lineage) makes the routing permanently
+    # deterministic AND leaves nothing persisted behind — the earlier
+    # persist()+count() pattern pinned one block-manager entry per
+    # invocation for the session lifetime (round-4 review finding).
+    hot_schema = hot.schema
+    hot_rows = hot.collect()
     # Measured-df auto-switch (VERDICT r3 #3): when the census finds NO hot
     # element — every df <= threshold, the common case below web scale —
     # the split machinery (anti/semi joins, signature branch, and above all
@@ -232,9 +235,9 @@ def overlap_join_hybrid(
     # count join, whose in-join count is already exact.  One cheap action
     # on the df aggregate decides; the hot branch only ever runs when a
     # df_e^2 term would actually have been quadratic.
-    if hot.isEmpty():
-        hot.unpersist()
+    if not hot_rows:
         return overlap_count_join(sets_df, id_col, set_col, t, block_cols)
+    hot = sets_df.sparkSession.createDataFrame(hot_rows, hot_schema)
 
     def _pair_cond(a, b, key: str, idc: str):
         cond = (F.col(f"{a}.{key}") == F.col(f"{b}.{key}")) & (

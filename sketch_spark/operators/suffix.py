@@ -937,6 +937,20 @@ def pretouch_arena(
     return int(df.agg(_F.sum("touched")).collect()[0][0] or 0)
 
 
+# blocks pinned by substring_pairs, freed by release_pins() once the
+# consumer has materialized its result (round-4 cache-hygiene pass)
+_PINNED: list = []
+
+
+def release_pins() -> None:
+    for df in _PINNED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _PINNED.clear()
+
+
 def substring_pairs(
     conv: DataFrame,
     text_col: str = "full_text",
@@ -947,8 +961,11 @@ def substring_pairs(
     # persist the fingerprints: the candidate stage's hot-bucket guard has
     # three consumers (census / cold / hot) and the winnowing kernel is the
     # pipeline's most expensive numpy stage — it must run exactly once.
-    # (Freed by the session's next clearCache / stage materialization.)
+    # Registered in _PINNED so release_pins() can free the block once the
+    # caller has materialized the stage result (DedupPipeline does; other
+    # callers may clearCache or call release_pins themselves).
     fps = winnow_fingerprints(conv, text_col, id_col, L, k).persist()
+    _PINNED.append(fps)
     n_fps = fps.count()  # materializes once; also powers the census skip
     cands = substring_candidate_pairs(fps, id_col, n_fps=n_fps)
     return verify_substring_pairs(cands, conv, text_col, id_col, L)

@@ -104,22 +104,25 @@ def vac_hll(
 ) -> DataFrame:
     """The HVAC instantiation (vac.h:118: VACSketch<hll_t>): per
     (group, level) HLL register arrays over the key hash.  Returns
-    (g, level, regs) — merge across partitions/datasets is the standard
-    register max, per level.  NB: g comes back as a STRING (the group key
-    rides through the register agg as a composite string); cast on the
-    way out if the caller's group column is numeric."""
+    (g, level, regs) with g keeping the caller's type — merge across
+    partitions/datasets is the standard register max, per level.  The
+    composite (group, level) key rides through the register agg as a
+    STRUCT, which is exact for every group type (an earlier string
+    concat_ws encoding silently reassigned NULL groups and mangled
+    groups containing the separator byte)."""
     from sketch_spark.operators.hll import hll_registers
 
     lv = vac_levels(elems, draw_col, n, base=base, hash_bits=hash_bits)
     tagged = lv.select(
-        F.concat_ws("\x1f", F.col(group_col), F.col("level")).alias("_gl"),
+        F.struct(
+            F.col(group_col).alias("g"), F.col("level").alias("level")
+        ).alias("_gl"),
         F.col(key_hash_col).alias("_h"),
     )
     regs = hll_registers(tagged, "_gl", "_h", p=p, hash_bits=hash_bits)
-    parts = F.split(F.col("_gl"), "\x1f")
     return regs.select(
-        F.element_at(parts, 1).alias("g"),
-        F.element_at(parts, 2).cast("int").alias("level"),
+        F.col("_gl.g").alias("g"),
+        F.col("_gl.level").alias("level"),
         F.col("regs"),
     )
 

@@ -114,8 +114,10 @@ def _scan(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # keyed by session like _MEMO: split counts depend on session conf
     # (defaultParallelism, maxPartitionBytes), and a later session reading
-    # the same path must not inherit a stale census
-    key = (id(spark), sf_dir, table)
+    # the same path must not inherit a stale census.  applicationId, not
+    # id(spark): CPython reuses addresses after GC, so id() can collide
+    # across a stop/recreate cycle and hand the new session a stale count.
+    key = (spark.sparkContext.applicationId, sf_dir, table)
     if key not in _SCAN_SPLITS:
         # driver-side split census (computes FilePartitions, runs no job)
         _SCAN_SPLITS[key] = df.rdd.getNumPartitions()
@@ -182,7 +184,7 @@ def _poly_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="doc_id long, source string, shingles array<long>, h60 array<long>",
         )
 
-    return _memo(("polydocs", id(spark), sf_dir), build)
+    return _memo(("polydocs", spark.sparkContext.applicationId, sf_dir), build)
 
 
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,7 +347,7 @@ def q05_oneperm_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "register_idx", F.col("register_value").cast("long"))
         )
 
-    return _memo(("regs", id(spark), sf_dir), build)
+    return _memo(("regs", spark.sparkContext.applicationId, sf_dir), build)
 
 
 Q05_SQL = (
@@ -791,7 +793,7 @@ def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.operators.setsim import overlap_join_hybrid
 
     g = _memo(
-        ("grams", id(spark), sf_dir),
+        ("grams", spark.sparkContext.applicationId, sf_dir),
         lambda: _docs(spark, sf_dir).select(
             "doc_id",
             "source",

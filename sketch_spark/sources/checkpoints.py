@@ -31,6 +31,7 @@ class CheckpointManager:
         self.config_hash = config_hash
         self.enabled = enabled
         self.log: list[dict] = []
+        self._pinned: list[DataFrame] = []
         if enabled:
             os.makedirs(root, exist_ok=True)
 
@@ -66,7 +67,7 @@ class CheckpointManager:
             # work and re-inline the UDF into contexts that cannot evaluate
             # it).  persist+count rather than localCheckpoint: Spark 4.1's
             # localCheckpoint fails to extract PythonUDF nodes.
-            df = fn().persist()
+            df = self.pin(fn())
             rows = df.count()
             self.log.append(
                 {
@@ -113,6 +114,26 @@ class CheckpointManager:
             }
         )
         return self.spark.read.parquet(data)
+
+    def pin(self, df: DataFrame) -> DataFrame:
+        """persist() with bookkeeping: every block pinned through the
+        manager is released by unpersist_all() — without this, each
+        pipeline run left its stage blocks in the block manager for the
+        session lifetime (round-4 review finding)."""
+        df = df.persist()
+        self._pinned.append(df)
+        return df
+
+    def unpersist_all(self) -> None:
+        """Release every DataFrame pinned by this manager.  Previously
+        returned stage DataFrames stay valid — they recompute from lineage
+        if acted on again (all stages are deterministic)."""
+        for df in self._pinned:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
+        self._pinned.clear()
 
     def timed(self, stage: str, fn: Callable[[], object]) -> object:
         """Time a non-checkpointed block (driver-side actions, CC loop) as a

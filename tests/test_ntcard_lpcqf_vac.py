@@ -332,3 +332,49 @@ def test_vac_hll_registers_match_per_level(spark):
         exp = hll_registers_np(members, p)
         assert got.loc[level, "g"] == "x"
         assert list(got.loc[level, "regs"]) == list(exp)
+
+
+def test_vac_hll_group_key_exact_for_nulls_and_separator_strings(spark):
+    """The (group, level) key rides through the register agg as a STRUCT:
+    NULL groups must come back as NULL (the earlier concat_ws encoding
+    silently reassigned them to a phantom group named after the level) and
+    a group value containing the old \\x1f separator byte must round-trip
+    verbatim.  Registers per (group, level) must match the per-level
+    expectation regardless of key shape."""
+    from sketch_spark.operators.hll import hll_registers_np
+
+    rng = np.random.default_rng(SEED + 9)
+    n, p = 3, 4
+    groups = [None, "x\x1fy", "plain"]
+    rows = []
+    members: dict = {}
+    for gi, g in enumerate(groups):
+        keys = rng.integers(0, 1 << 62, size=400, dtype=np.uint64)
+        rids = np.arange(len(keys), dtype=np.uint64) + np.uint64(10_000 * gi)
+        draws = wanghash_np(rids + np.uint64(5))
+        khash = wanghash_np(keys)
+        members[g] = (khash, draws)
+        rows += [
+            (g, int(np.int64(h)), int(np.int64(u)))
+            for h, u in zip(khash, draws)
+        ]
+    pdf = pd.DataFrame(rows, columns=["g", "h", "u"])
+    got = vac_hll(
+        spark.createDataFrame(pdf), "g", "h", "u", n=n, p=p
+    ).toPandas()
+    assert len(got) == len(groups) * n
+
+    def ctz(x: int) -> int:
+        return (x & -x).bit_length() - 1 if x else 64
+
+    for g in groups:
+        khash, draws = members[g]
+        sub = got[got["g"].isna()] if g is None else got[got["g"] == g]
+        assert sorted(sub["level"]) == list(range(n)), g
+        for level in range(n):
+            keep = np.array(
+                [min(ctz(int(u)) + 1, n) > level for u in draws]
+            )
+            exp = hll_registers_np(khash[keep], p)
+            row = sub[sub["level"] == level].iloc[0]
+            assert list(row["regs"]) == list(exp), (g, level)

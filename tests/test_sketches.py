@@ -632,3 +632,45 @@ def test_hyperhyperbitbit_matches_literal_twin(spark):
     # loose accuracy band (the reference publishes no tolerance for the
     # 6.43-constant ies estimator; this pins gross sanity, not calibration)
     assert 0.3 < got["b"] / 200_000 < 3.0
+
+
+def test_hyperbitbit_groups_null_hashes_keep_int64_precision(spark):
+    """A null hash in a group's Arrow batch must not corrupt the others:
+    pyarrow lifts an int64 column WITH nulls to float64 in pandas, rounding
+    every hash >= 2^53 before the fold reads its low (ctz) bits.  The nulls
+    are therefore dropped Spark-side; the group result must equal the fold
+    over the non-null hashes exactly.  (Round-4 review finding: the earlier
+    pandas-side dropna ran after the precision was already gone.)"""
+    # odd low bits on >2^62 values: float64 rounds these to even multiples
+    # of 512, flipping ctz from 0 to >=9 — exactly what the fold reads
+    hs = [(1 << 62) + 1, (1 << 62) + 3, (1 << 62) + 12345, 7]
+    rows = [("a", h) for h in hs] + [("a", None), ("b", None), ("b", 5)]
+    df = spark.createDataFrame(rows, "g string, h long")
+    got = {
+        r.g: (r.logn, r.s1, r.s2)
+        for r in hll.hyperbitbit_groups(df, "g", "h").collect()
+    }
+    assert got["a"] == hll.hyperbitbit_fold(sorted(hs))
+    assert got["b"] == hll.hyperbitbit_fold([5])
+
+
+def test_hyperhyperbitbit_groups_null_hashes_keep_int64_precision(spark):
+    """Same mechanism for the sharded form: a null in any (group, shard)
+    batch must not round the shard's quotient stream."""
+    n = 4
+    hs = [(1 << 62) + 1, (1 << 62) + 3, (1 << 62) + 12345, 7, 901]
+    rows = [("a", h) for h in hs] + [("a", None)]
+    clean = spark.createDataFrame([("a", h) for h in hs], "g string, h long")
+    dirty = spark.createDataFrame(rows, "g string, h long")
+    est_clean = hll.hyperhyperbitbit_groups(clean, "g", "h", n=n).collect()[0].est
+    est_dirty = hll.hyperhyperbitbit_groups(dirty, "g", "h", n=n).collect()[0].est
+    assert est_clean == est_dirty
+    # and the clean value matches the literal twin
+    shards: dict[int, list[int]] = {}
+    for h in sorted(hs):
+        shards.setdefault(h % n, []).append(h // n)
+    tot = 0.0
+    for i in range(n):
+        logn, s1, _ = hll.hyperhyperbitbit_fold(shards.get(i, []))
+        tot += 2.0 ** -(bin(s1).count("1") / 32.0 + 6.43 + logn)
+    assert abs(est_clean - n * n / tot) / (n * n / tot) < 1e-12
