@@ -330,12 +330,29 @@ class DedupPipeline:
                     f"cid collision: {cr.n} convs -> {cr.d} distinct cids; "
                     "assign dense ids at ingest"
                 )
+            # pair counts come from the stage materializations the manager
+            # already performed (persist+count or parquet manifest) — four
+            # recount jobs over multi-million-row cached stages were pure
+            # overhead; rows_of is the same number by definition, on fresh
+            # runs and on resume alike
+            def rows(stage: str, df) -> int:
+                n = self.ckpt.rows_of(stage)
+                return int(n) if n is not None else df.count()
+
+            # under use_simhash_verify the local `cands` is the
+            # hamming-filtered set, NOT the "cands" stage output — count it
             return {
                 "convs": int(cr.n),
-                "exact_pairs": exact.count(),
-                "candidate_pairs": cands.count(),
-                "verified_pairs": verified.count(),
-                "substring_pairs": substr.count() if substr is not None else 0,
+                "exact_pairs": rows("exact", exact),
+                "candidate_pairs": (
+                    cands.count()
+                    if self.cfg.use_simhash_verify
+                    else rows("cands", cands)
+                ),
+                "verified_pairs": rows("verify", verified),
+                "substring_pairs": (
+                    rows("substr", substr) if substr is not None else 0
+                ),
                 "cc_iterations": iters,
                 "clusters": canonical.select("cluster_id").distinct().count(),
             }
