@@ -283,10 +283,21 @@ def candidate_pairs_capped(
     bucket_cap: int = 64,
     max_cand_per_item: int | None = None,
 ) -> DataFrame:
-    """candidate_pairs plus the reference's per-item `maxcand` early stop
-    (ssi.h:387-444): each item keeps at most max_cand_per_item partners,
-    preferring more-specific (lower level, then more matched bands)
-    candidates; deterministic tie-break by partner id."""
+    """candidate_pairs plus a distributed analog of the reference's
+    per-item `maxcand` early stop (ssi.h:387-444), preferring
+    more-specific (lower level, then more matched bands) candidates with
+    a deterministic tie-break by partner id.
+
+    Semantics, precisely: a pair survives when EITHER endpoint ranks it
+    within its own top max_cand_per_item — a recall-preserving SUPERSET
+    of the reference's per-query cut (requiring both endpoints would drop
+    a pair the reference keeps whenever only one side is hub-crowded).
+    One item can therefore retain more than max_cand_per_item partners
+    (a hub every neighbor ranks first keeps all of them), but TOTAL pair
+    volume stays <= n * max_cand_per_item because every kept pair is
+    charged to at least one endpoint's bounded list — the bound that
+    matters for cluster-wide verify cost.  Callers needing the strict
+    per-item cut can re-rank the output with the same window."""
     from pyspark.sql import Window
 
     has_level = "level" in bands_df.columns
@@ -374,9 +385,19 @@ def verify_pairs(
         F.col(id_col).alias("b"), F.col(sig_col).alias("_sigb")
     )
     m = F.size("_siga")
+    # a register matches only when BOTH sides saw an element and the
+    # values agree: eqNullSafe would count shared-empty (null) registers
+    # as matches, driving j_est toward 1.0 for sparse non-densified
+    # signatures (two disjoint 2-shingle sets share ~124/128 nulls).
+    # Densified inputs (the pipeline's) carry no nulls, so this is
+    # value-identical for them.
     n_eq = F.size(
         F.filter(
-            F.zip_with(F.col("_siga"), F.col("_sigb"), lambda x, y: x.eqNullSafe(y)),
+            F.zip_with(
+                F.col("_siga"),
+                F.col("_sigb"),
+                lambda x, y: x.isNotNull() & y.isNotNull() & (x == y),
+            ),
             lambda v: v,
         )
     )

@@ -323,6 +323,11 @@ def one_perm_cardinality_col(sig: Column, p: int = DEFAULT_P) -> Column:
 
     Registers are uniform in [0, 2^vb); E[min of n uniforms] ~ range/(n+1),
     so n_i ~ range/reg - 1 per register; harmonic combine over m registers.
+    An EMPTY register (null, before densification) saw n_i = 0 elements —
+    its term is the reference's default_val = max register (bbmh.h detail::
+    default_val), i.e. (max+1)/range = 1.0.  (An earlier version added 0.0
+    for nulls, which inflated sparse-set estimates by orders of magnitude:
+    one shingle -> 127 empty registers -> inv_sum ~ 2^-57 instead of ~127.)
     """
     m = 1 << p
     rng = float(1 << _value_bits(p))
@@ -330,7 +335,7 @@ def one_perm_cardinality_col(sig: Column, p: int = DEFAULT_P) -> Column:
         sig,
         F.lit(0.0),
         lambda acc, v: acc
-        + F.when(v.isNull(), F.lit(0.0)).otherwise(
+        + F.when(v.isNull(), F.lit(1.0)).otherwise(
             (v.cast("double") + F.lit(1.0)) / F.lit(rng)
         ),
     )
@@ -661,14 +666,21 @@ def expand_weighted_elements(
     """(…, h, cnt) -> one row per (h, level), level in [0, cnt), with
     out_col = xxhash64(h, level): the exact integer-weight reduction —
     plain Jaccard over the expanded sets equals sum(min)/sum(max) of the
-    weighted sets, so every unweighted signature/LSH operator applies."""
+    weighted sets, so every unweighted signature/LSH operator applies.
+
+    cnt <= 0 (a truncated fractional weight, a zeroed idf term) emits NO
+    rows: sequence(0, cnt-1) must be guarded because Spark's sequence
+    defaults to step -1 when start > stop — unguarded, cnt = 0 would emit
+    two phantom sub-elements [0, -1] (same guard as transcripts.py's
+    shingle window)."""
     other = [c for c in elems.columns if c not in (hash_col, count_col)]
+    cnt = F.col(count_col).cast("long")
     return elems.select(
         *other,
         F.col(hash_col).alias("_wh"),
-        F.explode(F.sequence(F.lit(0), F.col(count_col).cast("long") - 1)).alias(
-            "_lvl"
-        ),
+        F.explode(
+            F.when(cnt > 0, F.sequence(F.lit(0), cnt - 1))
+        ).alias("_lvl"),
     ).select(*other, F.xxhash64(F.col("_wh"), F.col("_lvl")).alias(out_col))
 
 

@@ -392,10 +392,15 @@ def winnow_fingerprints(
                 for cid, text in zip(pdf[id_col], pdf[text_col])
                 if text is not None
             ]
-            # char-bounded groups (a single over-long text stays alone)
+            # char-bounded groups; a text that alone exceeds the bound
+            # takes the chunked single-text path (kernel slabs stay
+            # capped even for one adversarially long conversation)
             groups, cur, cur_chars = [], [], 0
             for item in all_convs:
                 n = len(item[1])
+                if n > MAX_BATCH_CHARS:
+                    yield _winnow_single_long(item[0], item[1], id_col, k, w)
+                    continue
                 if cur and cur_chars + n > MAX_BATCH_CHARS:
                     groups.append(cur)
                     cur, cur_chars = [], 0
@@ -465,6 +470,63 @@ def _winnow_group(convs: list, id_col: str, k: int, w: int) -> pd.DataFrame:
             fps.extend(allh[st + sel].astype(np.int64).tolist())
             poss.extend(sel.astype(np.int64).tolist())
     return pd.DataFrame({id_col: ids, "fp": fps, "pos": poss})
+
+
+def _winnow_single_long(cid, text: str, id_col: str, k: int, w: int) -> pd.DataFrame:
+    """Chunked winnow for ONE text longer than MAX_BATCH_CHARS, so kernel
+    slab memory stays capped even for an adversarially long conversation
+    (previously such a text was processed whole, growing the grow-only
+    arena to O(text) and pinning it for the worker's lifetime).
+
+    Bit-identical to the unchunked pass: k-gram hashes are content-local
+    (_kgram_hashes_seg) and window_argmin is the LEFTMOST argmin — purely
+    window-content-determined — so evaluating each window start exactly
+    once, in the chunk that owns it (with a w+k-2-char read-ahead for
+    windows reaching past the owned range), selects exactly the positions
+    the whole-text pass would.  Positions selected twice (a window in the
+    owned range and one in the previous chunk's read-ahead pointing at the
+    same minimum) are deduplicated like the whole-text np.unique.  Peak
+    footprint: the input row's own string (unavoidable) + capped slabs.
+    """
+    n_chars = len(text)
+    nk = n_chars - k + 1
+    if nk <= 0:
+        return pd.DataFrame({id_col: [], "fp": [], "pos": []})
+    # window starts: nk - w + 1 of them (nk > w always holds here, since
+    # n_chars > MAX_BATCH_CHARS >> w + k)
+    nwin = nk - w + 1
+    seen: set = set()
+    fps_out: list = []
+    step = MAX_BATCH_CHARS
+    for ws in range(0, nwin, step):
+        we = min(ws + step, nwin)
+        # chars needed by windows [ws, we): hash positions up to we+w-2,
+        # i.e. chars up to we+w-2 + k-1 (exclusive end we+w+k-2)
+        ce = min(we + w + k - 2, n_chars)
+        codes = np.frombuffer(
+            text[ws:ce].encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+        )
+        m = codes.size - k + 1
+        allh = _kgram_hashes_codes(
+            codes, k, out=_cap_buf("wfl_allh", m, np.uint64)
+        )
+        nw = m - w + 1
+        wam = window_argmin(
+            allh, w, out=_cap_buf("wfl_wam", max(nw, 1), np.int64)
+        )
+        for s_rel in np.unique(wam[: we - ws]).tolist():
+            p = ws + int(s_rel)
+            if p not in seen:
+                seen.add(p)
+                fps_out.append((p, int(np.int64(allh[s_rel]))))
+    fps_out.sort()
+    return pd.DataFrame(
+        {
+            id_col: [cid] * len(fps_out),
+            "fp": [f for _, f in fps_out],
+            "pos": [p for p, _ in fps_out],
+        }
+    )
 
 
 def substring_candidate_pairs(

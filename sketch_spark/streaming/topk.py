@@ -84,15 +84,23 @@ def streaming_update_query(
     members, the root-link insight of the batch path — they just aren't
     inserted, so a boilerplate flood cannot grow state or go quadratic).
     Downstream dedups (a, b) and verifies exactly like the batch pipeline.
-    Append output mode; exactly-once via the streaming checkpoint."""
+    Append output mode; exactly-once via the streaming checkpoint.
+
+    Output/state schemas follow the stream's id type (string conv_ids and
+    the batch path's dictionary-encoded long cids both work; min/max pair
+    ordering stays within one type, so it is consistent either way)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    id_type = bands.schema[id_col].dataType.simpleString()
 
     def fn(key, pdfs, state):
         members: list = list(state.get[0]) if state.exists else []
         rows_a, rows_b = [], []
         for pdf in pdfs:
-            for cid in pdf[id_col]:
+            # .tolist() lifts numpy scalars to plain Python values so the
+            # state tuple serializes identically for long and string ids
+            for cid in pdf[id_col].tolist():
                 for m in members:
                     if m != cid:
                         rows_a.append(min(cid, m))
@@ -111,8 +119,8 @@ def streaming_update_query(
 
     return bands.groupBy("band", "key").applyInPandasWithState(
         fn,
-        outputStructType="a string, b string, band int, key long",
-        stateStructType="ids array<string>",
+        outputStructType=f"a {id_type}, b {id_type}, band int, key long",
+        stateStructType=f"ids array<{id_type}>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

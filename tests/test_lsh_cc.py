@@ -159,3 +159,44 @@ def test_hot_bucket_ten_million_members_bounded(spark):
     # cap-clique C(cap,2) + one root link per over-cap member
     assert got.n == cap * (cap - 1) // 2 + (n - cap)
     assert got.d == got.n
+
+
+def test_verify_pairs_shared_empty_registers_are_not_matches(spark):
+    """Two disjoint tiny sets' NON-densified one-perm signatures share
+    almost all registers as nulls; a null-null 'match' must not count
+    (eqNullSafe did, driving j_est toward 1.0).  Densified inputs carry
+    no nulls, so pipeline values are unaffected — pinned by the n_eq=m
+    self-pair check."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from sketch_spark.functions.hashing import wanghash_np
+    from sketch_spark.operators import lsh, minhash as MH
+
+    p = 7
+
+    def hs(n0, cnt):
+        return (
+            wanghash_np(np.arange(n0, n0 + cnt, dtype=np.uint64))
+            .astype(np.int64)
+            .tolist()
+        )
+
+    df = spark.createDataFrame(
+        [("a", hs(1, 2)), ("b", hs(10_001, 2))], "id string, xs array<long>"
+    )
+    sig = MH.one_perm_signature_from_array(df, "xs", "sig", p).select("id", "sig")
+    pairs = spark.createDataFrame(
+        [("a", "b", 1), ("a", "a", 1)], "a string, b string, n_bands int"
+    )
+    out = {
+        (r.a, r.b): (r.n_eq, r.j_est)
+        for r in lsh.verify_pairs(
+            pairs, sig, "id", "sig", b_bits=57, tau=0.0
+        ).collect()
+    }
+    n_eq_ab, j_ab = out[("a", "b")]
+    assert n_eq_ab == 0 and j_ab == 0.0  # disjoint: no real register match
+    n_eq_aa, j_aa = out[("a", "a")]
+    # self-pair: only the OCCUPIED registers match (2 elements -> <= 2)
+    assert 1 <= n_eq_aa <= 2

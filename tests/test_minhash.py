@@ -179,3 +179,59 @@ def test_super_minhash_collision_law_and_merge(spark):
     assert abs(frac - true_j) <= 3 * sigma, (frac, true_j)
     merged = np.minimum(np.array(got["a"]), np.array(got["b"]))
     assert np.array_equal(merged, np.array(got["u"]))
+
+
+def test_one_perm_cardinality_empty_registers_count_as_default_val(spark):
+    """Empty (null) registers saw zero elements: their harmonic term is
+    the reference's default_val = max register, i.e. (max+1)/range = 1.0.
+    (An earlier version added 0.0 for nulls, inflating a 1-shingle set's
+    estimate to ~10^4-10^6.)  Gates: all-null -> 0; tiny sparse sets stay
+    order-1; a fully-occupied 5000-element set lands within 15%."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from sketch_spark.operators import minhash as MH
+
+    from sketch_spark.functions.hashing import wanghash_np
+
+    def hs(n0, cnt):
+        return (
+            wanghash_np(np.arange(n0, n0 + cnt, dtype=np.uint64))
+            .astype(np.int64)
+            .tolist()
+        )
+
+    p = 7
+    rows = [
+        ("empty", []),
+        ("one", hs(101, 1)),
+        ("two", hs(101, 2)),
+        ("big", hs(1, 5000)),
+    ]
+    df = spark.createDataFrame(rows, "g string, xs array<long>")
+    sig = MH.one_perm_signature_from_array(df, "xs", "sig", p)
+    est = {
+        r.g: r.est
+        for r in sig.select(
+            "g", MH.one_perm_cardinality_col(F.col("sig"), p).alias("est")
+        ).collect()
+    }
+    assert est["empty"] == 0.0
+    assert 0.0 <= est["one"] < 5.0
+    assert 0.0 <= est["two"] < 10.0
+    assert abs(est["big"] - 5000) / 5000 < 0.15
+
+
+def test_expand_weighted_elements_zero_count_emits_nothing(spark):
+    """cnt = 0 must contribute no sub-elements: Spark's sequence(0, -1)
+    is the DESCENDING [0, -1] (default step -1), which unguarded emitted
+    two phantom rows per zero-weight element."""
+    from sketch_spark.operators import minhash as MH
+
+    df = spark.createDataFrame(
+        [("a", 11, 3), ("a", 12, 0), ("a", 13, -2), ("b", 11, 1)],
+        "g string, h long, cnt long",
+    )
+    out = MH.expand_weighted_elements(df).groupBy("g").count().collect()
+    got = {r.g: r["count"] for r in out}
+    assert got == {"a": 3, "b": 1}

@@ -136,3 +136,46 @@ def test_streaming_update_query_stateful(spark, tmp_path):
         assert ("c1", "c4") in got2 and ("c2", "c4") in got2
     finally:
         q.stop()
+
+
+def test_streaming_update_query_long_ids(spark, tmp_path):
+    """The batch pipeline's band tables carry dictionary-encoded LONG
+    cids; the streaming operator must follow the stream's id type in its
+    output and state schemas (they were hardcoded to string)."""
+    import time
+
+    from sketch_spark.streaming.topk import streaming_update_query
+
+    src = str(tmp_path / "srcL")
+    ckpt = str(tmp_path / "ckptL")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        [(11, 0, 42), (7, 0, 42), (99, 1, 5)],
+        "conv_id long, band int, key long",
+    ).write.mode("overwrite").parquet(f"{src}/b1")
+    stream = spark.readStream.schema("conv_id long, band int, key long").option(
+        "maxFilesPerTrigger", "100"
+    ).parquet(f"{src}/b*")
+    out = streaming_update_query(stream, bucket_cap=8)
+    assert dict(out.dtypes)["a"] == "bigint"
+    q = (
+        out.writeStream.format("memory")
+        .queryName("upq_long")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {(r.a, r.b) for r in spark.sql("SELECT * FROM upq_long").collect()}
+        assert (7, 11) in got1  # NUMERIC min/max ordering, not lexicographic
+        # batch 2: state survives and pairs numerically
+        spark.createDataFrame(
+            [(2, 0, 42)], "conv_id long, band int, key long"
+        ).write.mode("overwrite").parquet(f"{src}/b2")
+        time.sleep(0.2)
+        q.processAllAvailable()
+        got2 = {(r.a, r.b) for r in spark.sql("SELECT * FROM upq_long").collect()}
+        assert (2, 7) in got2 and (2, 11) in got2
+    finally:
+        q.stop()

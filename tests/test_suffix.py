@@ -281,3 +281,28 @@ def test_window_argmin_seg_exact_geometry_identical():
         a = suffix._window_argmin_seg(v.copy(), w).copy()
         b = suffix._window_argmin_seg(v.copy(), w, exact_geometry=True).copy()
         assert np.array_equal(a, b), (n, w)
+
+
+def test_winnow_single_long_chunked_bit_identical():
+    """A text over MAX_BATCH_CHARS takes the chunked single-text path;
+    k-gram hashes are content-local and window_argmin is leftmost (purely
+    window-content-determined), so the chunked selection must equal the
+    whole-text group kernel's exactly — positions AND values — including
+    on repetitive text full of equal-hash ties."""
+    rng = np.random.default_rng(5)
+    base = "".join(rng.choice(list("abcdefg "), size=200_000).tolist())
+    # planted repeat so long duplicate spans cross chunk boundaries
+    text = base[:50_000] + base[:30_000] + base[50_000:]
+    k, L = suffix.DEFAULT_K, suffix.DEFAULT_L
+    w = L - k + 1
+    ref = suffix._winnow_group([("x", text)], "conv_id", k, w)
+    old = suffix.MAX_BATCH_CHARS
+    try:
+        suffix.MAX_BATCH_CHARS = 37_111  # force many chunks + readahead
+        got = suffix._winnow_single_long("x", text, "conv_id", k, w)
+    finally:
+        suffix.MAX_BATCH_CHARS = old
+    assert sorted(zip(ref["pos"], ref["fp"])) == sorted(
+        zip(got["pos"], got["fp"])
+    )
+    assert len(got) == len(set(got["pos"]))  # unique like np.unique
