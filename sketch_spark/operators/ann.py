@@ -83,8 +83,9 @@ def srp_signatures(
                 {id_col: pdf[id_col], "srp_sig": sig.astype(np.int64)}
             )
 
+    id_type = vecs.schema[id_col].dataType.simpleString()
     return vecs.select(id_col, vec_col).mapInPandas(
-        gen, schema=f"{id_col} long, srp_sig long"
+        gen, schema=f"{id_col} {id_type}, srp_sig long"
     )
 
 
@@ -220,6 +221,10 @@ def train_ivf_centroids(
         .select("v")
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "train_ivf_centroids: empty corpus (nothing to sample)"
+        )
     x = np.array([r.v for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -252,25 +257,29 @@ def ivf_assign(
 ) -> DataFrame:
     """-> (<prefix>_id, cell) rows: each vector's n_probe nearest centroids
     (1 for corpus rows, >1 for query probing).  One matmul per Arrow
-    batch."""
+    batch.  n_probe is clamped to the number of trained centroids (a
+    small training sample can yield fewer cells than the requested
+    probes; unclamped, argsort's k columns vs n_probe-repeated ids made
+    the output frame constructor throw)."""
     cents = centroids.astype(np.float64)
+    probe = max(1, min(n_probe, cents.shape[0]))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = mat @ cents.T
-            top = np.argsort(-sims, axis=1)[:, :n_probe]
-            n = len(pdf)
+            top = np.argsort(-sims, axis=1)[:, :probe]
             yield pd.DataFrame(
                 {
-                    f"{prefix}_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    f"{prefix}_id": np.repeat(pdf[id_col].to_numpy(), probe),
                     "cell": top.ravel().astype(np.int32),
                 }
             )
 
+    id_type = vecs.schema[id_col].dataType.simpleString()
     return vecs.select(id_col, vec_col).mapInPandas(
-        gen, schema=f"{prefix}_id long, cell int"
+        gen, schema=f"{prefix}_id {id_type}, cell int"
     )
 
 

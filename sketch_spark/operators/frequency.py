@@ -429,9 +429,16 @@ def lpcqf_query(
 
 def lpcqf_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
     """inner_product (lpcqf.h:243-298): sum of count products over cells
-    whose bucket AND signature match — the sketch's join-size estimate."""
+    whose bucket AND signature match — the sketch's join-size estimate.
+    Disjoint sketches (empty join) yield 0, not null (sum over an empty
+    aggregate is null, which would silently drop the row from any
+    threshold comparison — same guard cs_inner_product applies)."""
     return (
         a.alias("a")
         .join(b.alias("b"), on=["bucket", "sig"])
-        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("inner_product"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("a.cnt") * F.col("b.cnt")), F.lit(0)
+            ).cast("long").alias("inner_product")
+        )
     )

@@ -455,8 +455,15 @@ def hll_intersection_size_col(a: Column, b: Column, p: int = DEFAULT_P) -> Colum
 
 
 def hll_jaccard_col(a: Column, b: Column, p: int = DEFAULT_P) -> Column:
+    # build each estimator subtree once and derive i = max(ca+cb-u, 0)
+    # directly, instead of calling hll_intersection_size_col (which
+    # re-constructs estimate(a), estimate(b) AND the union walk a second
+    # time); Spark's subexpression elimination then sees one copy of each
+    # 2^p-register aggregation per distinct input.
+    ca = hll_estimate_col(a, p)
+    cb = hll_estimate_col(b, p)
     u = hll_union_size_col(a, b, p)
-    i = hll_intersection_size_col(a, b, p)
+    i = F.greatest(ca + cb - u, F.lit(0.0))
     return F.when(u > 0, i / u).otherwise(F.lit(0.0))
 
 

@@ -89,6 +89,13 @@ def candidate_pairs(
     pairs, exceptAll = 0 both ways); the earlier census-groupBy + join
     formulation cost 93 s.
 
+    TWIN-MAINTENANCE NOTE: suffix.substring_candidate_pairs carries a
+    parallel census/cold/hot implementation over (fp) fingerprint groups
+    with deliberate domain differences (raw-value keys, tail subsampling,
+    an a != b guard).  A fix to the census threshold math, the hot-bucket
+    cap handling, or the root-link strategy here almost certainly applies
+    there too — check both.
+
     Hot-bucket row-size guard (`hot_threshold`): collect_list makes each
     bucket ONE row — O(members) bytes in one task, fine at the measured
     36k-member worst case (~600 KB) but a multi-GB row for a 10^8-member

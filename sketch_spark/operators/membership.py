@@ -51,14 +51,21 @@ def bloom_build(
     n_hashes: int,
     pos_fn=default_bloom_pos,
 ) -> DataFrame:
-    """One-row DataFrame with `bits array<long>` (n_bits/64 words).
+    """One-row DataFrame with `bits array<long>` (ceil(n_bits/64) words).
 
     Word/bit positions from pos_fn(key, seed, n_bits) (default xxhash64; the
     oracle tier passes an engine-portable affine mod-prime family);
     aggregation is bit_or per word — the commutative monoid union of
     bf.cpp:25-35.
+
+    n_words rounds UP: a floor silently dropped the last partial word for
+    n_bits not divisible by 64, so positions in the tail never
+    materialized and bloom_probe returned null (a FALSE NEGATIVE) for
+    genuinely inserted keys.  The pad bits beyond n_bits are never set
+    (positions are mod n_bits) and never counted (bit_count sees zeros),
+    so density-based estimators still use m = n_bits correctly.
     """
-    n_words = n_bits // 64
+    n_words = (n_bits + 63) // 64
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
     pos = elems.select(F.col(key_col).alias("_k"), seeds).select(
         pos_fn(F.col("_k"), F.col("seed"), n_bits).alias("p")

@@ -124,16 +124,24 @@ def cset_cardinality_col(regs: Column, m: int) -> Column:
 
 def cset_jaccard_col(a: Column, b: Column, m: int) -> Column:
     """Equal-register fraction (setsketch.h:453-456); exact float equality
-    is meaningful because randomness is shared."""
-    n_eq = F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
-    return n_eq.cast("double") / F.lit(float(m))
+    is meaningful because randomness is shared.  Delegates to the shared
+    §2.6 comparison kernel (functions/arrays.py) — one implementation to
+    fix for e.g. null-element handling."""
+    from sketch_spark.functions.arrays import count_eq_col
+
+    return count_eq_col(a, b).cast("double") / F.lit(float(m))
 
 
 def cset_alpha_beta_cols(a: Column, b: Column, m: int) -> tuple[Column, Column]:
-    """(frac a_i > b_i, frac a_i < b_i) — count_gtlt (setsketch.h:529-534)."""
-    gt = F.size(F.filter(F.zip_with(a, b, lambda x, y: x > y), lambda v: v))
-    lt = F.size(F.filter(F.zip_with(a, b, lambda x, y: x < y), lambda v: v))
-    return gt.cast("double") / F.lit(float(m)), lt.cast("double") / F.lit(float(m))
+    """(frac a_i > b_i, frac a_i < b_i) — count_gtlt (setsketch.h:529-534),
+    via the shared kernel in functions/arrays.py."""
+    from sketch_spark.functions.arrays import count_gtlt_col
+
+    gl = count_gtlt_col(a, b)
+    return (
+        gl.getField("n_gt").cast("double") / F.lit(float(m)),
+        gl.getField("n_lt").cast("double") / F.lit(float(m)),
+    )
 
 
 def cset_union_intersection_cols(

@@ -69,6 +69,14 @@ def simhash_signatures_np(
     def gen(batches):
         shifts = np.arange(n_bits, dtype=np.uint64)
         for pdf in batches:
+            # NULL and empty arrays both map to 0, exactly like
+            # simhash_expr (its IF(null-votes >= 0, ...) takes the else
+            # branch for null arrays and the CASE guard handles empty) —
+            # the two paths are interchangeable, pinned by
+            # test_simhash_np_null_array_matches_expr_path.  Callers
+            # treating hamming-0 as duplicate evidence must filter
+            # null/empty shingle docs upstream (the pipeline's conv table
+            # does).
             out = np.zeros(len(pdf), dtype=np.int64)
             for i, arr in enumerate(pdf[arr_col]):
                 if arr is None or len(arr) == 0:

@@ -541,6 +541,13 @@ def substring_candidate_pairs(
     conversations share every fingerprint — plain truncation would
     disconnect them).  (pos_a, pos_b) always come from the same fp bucket,
     so every witness pair marks the same matching k-gram.
+
+    TWIN-MAINTENANCE NOTE: this is a domain-specialized sibling of
+    lsh.candidate_pairs' census/cold/hot machinery (differences here:
+    raw fp values as group keys, witness positions in the payload, tail
+    subsampling, the a != b guard).  A fix to the census threshold math,
+    hot-bucket cap handling, or root-link strategy in either file almost
+    certainly applies to the other — check both.
     """
     # ONE exchange on fp feeding ONE hash aggregation: each fingerprint
     # bucket is collected whole and ranked INSIDE the array (same

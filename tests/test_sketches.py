@@ -674,3 +674,102 @@ def test_hyperhyperbitbit_groups_null_hashes_keep_int64_precision(spark):
         logn, s1, _ = hll.hyperhyperbitbit_fold(shards.get(i, []))
         tot += 2.0 ** -(bin(s1).count("1") / 32.0 + 6.43 + logn)
     assert abs(est_clean - n * n / tot) / (n * n / tot) < 1e-12
+
+
+def test_ivf_assign_clamps_n_probe_and_empty_corpus_raises(spark):
+    """n_probe beyond the trained cell count must clamp (argsort yields
+    only k columns; unclamped the output frame constructor threw), and an
+    empty corpus must fail loudly, not with a numpy AxisError."""
+    import numpy as np
+
+    from sketch_spark.operators import ann
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, rng.standard_normal(8).tolist()) for i in range(3)
+    ]  # 3 vectors -> at most 3 centroids
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ann.train_ivf_centroids(df, vec_col="embedding", n_cells=16)
+    assert cents.shape[0] <= 3
+    out = ann.ivf_assign(df, cents, vec_col="embedding", n_probe=8).collect()
+    # every vector got min(8, k) probes
+    assert len(out) == 3 * cents.shape[0]
+    with pytest.raises(Exception, match="empty corpus"):
+        ann.train_ivf_centroids(
+            df.where("vec_id < 0"), vec_col="embedding", n_cells=4
+        )
+
+
+def test_srp_and_ivf_preserve_string_ids(spark):
+    import numpy as np
+
+    from sketch_spark.operators import ann
+
+    rng = np.random.default_rng(4)
+    rows = [(f"v{i}", rng.standard_normal(8).tolist()) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    sig = ann.srp_signatures(df, vec_col="embedding", n_bits=16, dim=8)
+    assert dict(sig.dtypes)["vec_id"] == "string"
+    assert sig.count() == 6
+    cents = ann.train_ivf_centroids(df, vec_col="embedding", n_cells=2)
+    asg = ann.ivf_assign(df, cents, vec_col="embedding", n_probe=1)
+    assert dict(asg.dtypes)["n_id"] == "string"
+    assert asg.count() == 6
+
+
+def test_bloom_build_partial_last_word_no_false_negatives(spark):
+    """n_bits not divisible by 64: the last PARTIAL word must materialize
+    (a floor-div dropped it, and keys hashing into the tail probed null —
+    a false negative)."""
+    from sketch_spark.operators import membership as MB
+
+    keys = list(range(1, 301))
+    elems = spark.createDataFrame([(k,) for k in keys], "k long")
+    bits = MB.bloom_build(elems, "k", n_bits=1000, n_hashes=5)
+    row = bits.collect()[0]
+    assert len(row.bits) == 16  # ceil(1000/64)
+    probes = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = MB.bloom_probe(probes, bits, "k", n_bits=1000, n_hashes=5)
+    n_true = got.where("may_contain").count()
+    assert n_true == len(keys)  # zero false negatives
+
+
+def test_simhash_np_null_array_matches_expr_path(spark):
+    """NULL and empty shingle arrays map to 0 on BOTH paths — the expr
+    path's IF(null-votes >= 0, ...) takes the else branch for nulls, and
+    the np path mirrors it; this pins the interchangeability contract so
+    neither variant drifts (callers must filter null/empty shingle docs
+    before treating hamming-0 as duplicate evidence)."""
+    from sketch_spark.operators import simhash as SH
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", None), ("c", [])],
+        "conv_id string, shingles array<long>",
+    )
+    via_np = {
+        r.conv_id: r.simhash
+        for r in SH.simhash_signatures_np(df, "shingles", "conv_id").collect()
+    }
+    via_expr = {
+        r.conv_id: r.simhash
+        for r in SH.simhash_signatures(df, "shingles").select(
+            "conv_id", "simhash"
+        ).collect()
+    }
+    assert via_np == via_expr
+    assert via_np["b"] == 0 and via_np["c"] == 0
+
+
+def test_lpcqf_disjoint_inner_product_is_zero(spark):
+    from sketch_spark.operators.frequency import lpcqf_inner_product, lpcqf_sketch
+
+    a = lpcqf_sketch(
+        spark.createDataFrame([(1,), (2,)], "k long"), "k", nregs=64
+    )
+    b = lpcqf_sketch(
+        spark.createDataFrame([(1001,), (1002,)], "k long"), "k", nregs=64
+    )
+    # force disjoint cells by filtering b to buckets a doesn't have
+    b_only = b.join(a.select("bucket", "sig"), ["bucket", "sig"], "left_anti")
+    row = lpcqf_inner_product(a, b_only).collect()[0]
+    assert row.inner_product == 0
