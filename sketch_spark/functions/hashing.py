@@ -217,11 +217,17 @@ POLY_B = 31  # per-character base
 POLY_TOKEN_B = 1_000_003  # per-token combine base; P*B + P < 2^63
 
 
-def poly_hash_token_col(tok: Column) -> Column:
-    """Per-character polynomial hash of one (ASCII) token — Spark side.
+def poly_token_family_col(tok: Column, b: int, p: int) -> Column:
+    """Per-character polynomial hash of one (ASCII) token — Spark side,
+    parameterized on the (base, prime) family.
 
-    h = fold(chars, 0, (h, c) -> (h*31 + ascii(c)) % P).  All intermediate
+    h = fold(chars, 0, (h, c) -> (h*b + ascii(c)) % p).  All intermediate
     values < 2^63, so this is ANSI-safe and runs under any session.
+
+    NOT safe to pass bare to F.transform: the HOF DSL requires callables
+    whose every parameter is positional (and a 2-positional callable is
+    treated as the (element, index) form).  Pass the 1-arg wrappers
+    (poly_hash_token_col, or a lambda closing over b/p) instead.
     """
     codes = F.transform(
         F.sequence(F.lit(1), F.length(tok)),
@@ -230,10 +236,16 @@ def poly_hash_token_col(tok: Column) -> Column:
     folded = F.aggregate(
         codes,
         F.lit(0).cast("long"),
-        lambda acc, c: (acc * F.lit(POLY_B) + c.cast("long")) % F.lit(POLY_P),
+        lambda acc, c: (acc * F.lit(b) + c.cast("long")) % F.lit(p),
     )
     # sequence(1, 0) would be descending in Spark; guard the empty token.
     return F.when(F.length(tok) == 0, F.lit(0).cast("long")).otherwise(folded)
+
+
+def poly_hash_token_col(tok: Column) -> Column:
+    """The default (POLY_B, POLY_P) family member — 1-arg, so it can be
+    passed bare to F.transform."""
+    return poly_token_family_col(tok, POLY_B, POLY_P)
 
 
 def poly_hash_token_sql(expr: str) -> str:

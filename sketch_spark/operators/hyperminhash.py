@@ -97,20 +97,49 @@ def hmh_registers(
         .groupBy("_g", "bucket")
         .agg(F.max("reg").alias("mx"))
     )
+    if m <= 1024:
+        # static unroll (codegen), same trade as hll_registers: element_at
+        # over a map is a linear scan, so the pivot is O(m^2) per group —
+        # measured fine to m = 1024, pathological beyond it
+        return (
+            per_bucket.groupBy("_g")
+            .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "mx"))).alias("mm"))
+            .select(
+                F.col("_g").alias(group_col),
+                F.array(
+                    *[
+                        F.coalesce(
+                            F.element_at(F.col("mm"), F.lit(i).cast("long")),
+                            F.lit(0).cast("long"),
+                        )
+                        for i in range(m)
+                    ]
+                ).alias("regs"),
+            )
+        )
+
+    # large m: one Arrow crossing per GROUP row, numpy scatter — O(m) per
+    # group (the hll_registers large-p path, same rationale)
+    @F.pandas_udf("array<long>")
+    def _scatter(buckets: pd.Series, vals: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for b, v in zip(buckets, vals):
+            regs = np.zeros(m, dtype=np.int64)
+            regs[np.asarray(b, dtype=np.int64)] = np.asarray(v, dtype=np.int64)
+            out.append(regs)
+        return pd.Series(out)
+
     return (
         per_bucket.groupBy("_g")
-        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "mx"))).alias("mm"))
+        .agg(
+            F.collect_list("bucket").alias("_bk"),
+            F.collect_list("mx").alias("_mx"),
+        )
         .select(
             F.col("_g").alias(group_col),
-            F.array(
-                *[
-                    F.coalesce(
-                        F.element_at(F.col("mm"), F.lit(i).cast("long")),
-                        F.lit(0).cast("long"),
-                    )
-                    for i in range(m)
-                ]
-            ).alias("regs"),
+            _scatter(F.col("_bk"), F.col("_mx")).alias("regs"),
         )
     )
 
@@ -120,13 +149,18 @@ def hmh_merge_col(a: Column, b: Column) -> Column:
     return F.zip_with(a, b, lambda x, y: F.greatest(x, y))
 
 
-def hmh_cardinality_udf(regs_col: Column, p: int, rsize: int = 16) -> Column:
+def hmh_cardinality_udf(
+    regs_col: Column, p: int, rsize: int = 16, hash_bits: int = 64
+) -> Column:
     """Ertl-MLE over the lzc histogram (estimate_hll_portion,
-    hmh.h:367-375)."""
+    hmh.h:367-375).  hash_bits must match the hmh_registers build (the
+    reference hardcodes 64; the portable 60-bit oracle tier passes 60 —
+    q models the geometric value-bit count, and overstating it biases the
+    MLE's tail terms)."""
     from sketch_spark.operators.hll import ertl_ml_estimate
 
     r = rsize - Q_LZC
-    q = 64 - p
+    q = hash_bits - p
 
     @F.pandas_udf("double")
     def est(regs: pd.Series) -> pd.Series:

@@ -75,7 +75,9 @@ def _decode_netpbm(payload: bytes) -> np.ndarray | None:
     nch = 3 if payload[:2] == b"P6" else 1
     need = w * h * nch * (2 if maxval > 255 else 1)
     raw = payload[i : i + need]
-    if len(raw) < need or maxval <= 0:
+    # w/h <= 0 must fail decode here: a zero-width header parses "cleanly"
+    # (need = 0) but the empty axis crashes np.pad in _image_features
+    if len(raw) < need or maxval <= 0 or w <= 0 or h <= 0:
         return None
     dt = ">u2" if maxval > 255 else np.uint8
     arr = np.frombuffer(raw, dtype=dt).astype(np.float64) / maxval
@@ -197,24 +199,29 @@ def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
         F.greatest(w, h) > max_side,
         F.lit(max_side) / F.greatest(w, h).cast("double"),
     ).otherwise(F.lit(1.0))
+    # each side clamps to >= 1: an extreme aspect ratio (1 x 4096 at
+    # max_side 256) would otherwise round the thin side to 0
     return media.select(
         "media_id",
         "kind",
-        F.round(w * scale).cast("int").alias("target_width"),
-        F.round(h * scale).cast("int").alias("target_height"),
+        F.greatest(F.round(w * scale).cast("int"), F.lit(1)).alias("target_width"),
+        F.greatest(F.round(h * scale).cast("int"), F.lit(1)).alias("target_height"),
     )
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plan: one row per selected frame index —
     a JVM sequence/explode, no decode needed to plan the work."""
-    return media.where(F.col("kind") == "video").select(
+    # n_frames <= 0 yields NO rows (the greatest(n-1, 0) floor otherwise
+    # scheduled a phantom frame 0 of a zero-frame video); NULL n_frames
+    # already drops through the null sequence + explode
+    return media.where(
+        (F.col("kind") == "video") & (F.col("meta.n_frames") > 0)
+    ).select(
         "media_id",
         F.explode(
             F.sequence(
-                F.lit(0),
-                F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
-                F.lit(every_n),
+                F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
             )
         ).alias("frame_idx"),
     )

@@ -38,10 +38,19 @@ def conv_table(transcripts: DataFrame, n: int = DEFAULT_N, seed: int = DEFAULT_S
     agg = transcripts.groupBy("conv_id").agg(turns.alias("turns"))
     texts = F.col("turns").getField("text")
     n_turns = F.size("turns")
-    full_text = F.array_join(texts, SEP)
+    # null_replacement="": array_join otherwise SKIPS null elements, so a
+    # conversation with a null-text turn would serialize identically to
+    # one WITHOUT that turn — a false exact-duplicate (and identically
+    # shrunken shingle windows).  With the empty replacement the turn
+    # keeps its separator slot: ["x", null, "y"] -> "x\x1e\x1ey", distinct
+    # from ["x", "y"] -> "x\x1ey".
+    full_text = F.array_join(texts, SEP, null_replacement="")
     idx = F.sequence(F.lit(1), F.greatest(n_turns - F.lit(n - 1), F.lit(0)))
     shingle_strs = F.when(n_turns < n, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(texts, i, n), SEP))
+        F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(texts, i, n), SEP, null_replacement=""),
+        )
     )
     shingles = F.array_sort(
         F.array_distinct(F.transform(shingle_strs, lambda s: F.xxhash64(s, F.lit(seed))))

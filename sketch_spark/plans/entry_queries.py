@@ -441,16 +441,11 @@ B2 = 37
 
 
 def _poly2_token_col(tok):
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(tok)),
-        lambda i: F.ascii(F.substr(tok, i, F.lit(1))),
-    )
-    folded = F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * F.lit(B2) + c.cast("long")) % F.lit(P2),
-    )
-    return F.when(F.length(tok) == 0, F.lit(0).cast("long")).otherwise(folded)
+    # second independent family = the shared parameterized fold with
+    # (B2, P2); one implementation in functions/hashing.py to fix
+    from sketch_spark.functions.hashing import poly_token_family_col
+
+    return poly_token_family_col(tok, B2, P2)
 
 
 def _doc_h60(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,7 +657,10 @@ FROM sh
 
 def q12_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    nt, nc, nsw, np_, passes = T.quality_flags_col(F.col("text"))
+    # null text counts as empty on BOTH engines: unguarded, Spark's
+    # legacy size(null) = -1 vs DuckDB's len(NULL) = NULL would diverge
+    # on the first null document (the SQL mirrors this coalesce)
+    nt, nc, nsw, np_, passes = T.quality_flags_col(F.coalesce(F.col("text"), F.lit("")))
     return d.select(
         "doc_id",
         nt.cast("long").alias("n_tokens"),
@@ -675,8 +673,10 @@ def q12_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW_LIST = ", ".join(f"'{w}'" for w in T.STOPWORDS)
 Q12_SQL = rf"""
-WITH tk AS (SELECT doc_id, text, {SQL_TOKS} AS toks,
-            list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS ltoks
+WITH tk AS (SELECT doc_id, COALESCE(text, '') AS text,
+            {SQL_TOKS.replace("text", "COALESCE(text, '')")} AS toks,
+            list_filter(string_split_regex(lower(COALESCE(text, ''))
+                , '\s+'), t -> length(t) > 0) AS ltoks
             FROM documents)
 SELECT doc_id,
   CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -692,12 +692,17 @@ FROM tk
 
 def q13_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", T.langid_col(F.col("text")).alias("pred_lang"))
+    # null text -> empty on both engines (same rationale as q12)
+    return d.select(
+        "doc_id",
+        T.langid_col(F.coalesce(F.col("text"), F.lit(""))).alias("pred_lang"),
+    )
 
 
 Q13_SQL = rf"""
-WITH tk AS (SELECT doc_id, text,
-            list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS ltoks
+WITH tk AS (SELECT doc_id, COALESCE(text, '') AS text,
+            list_filter(string_split_regex(lower(COALESCE(text, ''))
+                , '\s+'), t -> length(t) > 0) AS ltoks
             FROM documents)
 SELECT doc_id,
   CASE WHEN len(ltoks) > 0

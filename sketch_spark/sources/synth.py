@@ -74,7 +74,11 @@ _WORDS_ARR = np.array(_WORDS)
 
 
 def _mk_turns(rng: np.random.Generator, cfg: SynthConfig, n_turns: int | None = None) -> list[str]:
-    nt = int(n_turns or rng.integers(cfg.turns_lo, cfg.turns_hi + 1))
+    # `is None`, not falsy-or: an explicit n_turns=0 must mean an empty
+    # conversation, not a random-length one
+    nt = int(
+        n_turns if n_turns is not None else rng.integers(cfg.turns_lo, cfg.turns_hi + 1)
+    )
     # batch the RNG work: one draw for all token counts, one for all tokens
     ks = rng.integers(cfg.toks_lo, cfg.toks_hi + 1, size=nt)
     idx = rng.integers(0, len(_WORDS), size=int(ks.sum()))

@@ -773,3 +773,54 @@ def test_lpcqf_disjoint_inner_product_is_zero(spark):
     b_only = b.join(a.select("bucket", "sig"), ["bucket", "sig"], "left_anti")
     row = lpcqf_inner_product(a, b_only).collect()[0]
     assert row.inner_product == 0
+
+
+def test_conv_table_null_turn_text_is_not_dropped(spark):
+    """array_join skips null elements by default, which made a conversation
+    with a null-text turn serialize identically to one WITHOUT that turn —
+    a false exact duplicate.  The empty-string replacement keeps the
+    separator slot, so the two stay distinct."""
+    from sketch_spark.operators import transcripts as TR
+
+    rows = [
+        ("A", 0, "u", "x", None, None),
+        ("A", 1, "a", None, None, None),
+        ("A", 2, "u", "y", None, None),
+        ("B", 0, "u", "x", None, None),
+        ("B", 1, "u", "y", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    conv = {r.conv_id: r for r in TR.conv_table(t).collect()}
+    assert conv["A"].full_text == "x\x1e\x1ey"
+    assert conv["B"].full_text == "x\x1ey"
+    assert conv["A"].full_hash != conv["B"].full_hash
+
+
+def test_multimodal_degenerate_payloads(spark):
+    """Zero-width netpbm payloads must decode to null features (np.pad on
+    an empty axis crashed the task before); zero-frame videos schedule no
+    frames; extreme aspect ratios never round a resize side to 0."""
+    import numpy as np
+
+    from sketch_spark.operators import multimodal as MM
+
+    assert MM._decode_netpbm(b"P5\n0 5 255\n") is None
+    assert MM._decode_netpbm(b"P5\n5 0 255\n") is None
+
+    rows = [
+        ("m1", "video", (1, 4096, 0), None),
+        ("m2", "video", (640, 480, 25), None),
+        ("m3", "image", (1, 4096, None), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, "
+        "meta struct<width:int,height:int,n_frames:int>, payload binary",
+    )
+    frames = MM.frame_sample_plan(media, every_n=10).collect()
+    ids = {r.media_id for r in frames}
+    assert "m1" not in ids and "m2" in ids
+    rs = {r.media_id: r for r in MM.resize_meta(media, max_side=256).collect()}
+    assert rs["m3"].target_width >= 1 and rs["m3"].target_height == 256
