@@ -21,6 +21,7 @@ Usage:
 from __future__ import annotations
 
 import glob
+import json
 import os
 import shutil
 import subprocess
@@ -90,28 +91,42 @@ def combine_4800() -> None:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.makedirs(final)
-        n = 0
         for i in range(4):
-            for f in glob.glob(os.path.join(chunk_dir(i), sub, "part-*.parquet")):
+            # per-CHUNK assert: a stale/partially-cleaned chunk dir whose
+            # glob matches nothing must fail here, not ship a scale-4800
+            # corpus with a quarter of the data silently missing (the old
+            # total-across-chunks n >= 4 could pass with an empty chunk)
+            files = glob.glob(os.path.join(chunk_dir(i), sub, "part-*.parquet"))
+            assert files, f"{final}: chunk {i} contributes no part files"
+            for f in files:
                 os.link(f, os.path.join(final, f"c{i}-{os.path.basename(f)}"))
-                n += 1
         open(os.path.join(final, "_SUCCESS"), "w").close()
-        assert n >= 4, f"{final}: only {n} part files"
+    # completion marker so scaling.ensure_corpus accepts the combined
+    # corpus without rebuilding (its append-mode build path writes the
+    # same marker)
+    with open(corpus_path(4800) + ".complete", "w") as f:
+        json.dump({"scale": 4800, "chunks": 4, "via": "pregen.combine_4800"}, f)
 
 
 def drive() -> None:
     t0 = time.time()
     jobs = ["c0", "c1", "c2", "c3", "s300"]
+    logs = {
+        j: open(os.path.join(ROOT, "BENCH", "logs", f"pregen_{j}.log"), "w")
+        for j in jobs
+    }
     procs = {
         j: subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "worker", j],
             cwd=ROOT,
-            stdout=open(os.path.join(ROOT, "BENCH", "logs", f"pregen_{j}.log"), "w"),
+            stdout=logs[j],
             stderr=subprocess.STDOUT,
         )
         for j in jobs
     }
     fail = [j for j, p in procs.items() if p.wait() != 0]
+    for fh in logs.values():
+        fh.close()
     assert not fail, f"pregen workers failed: {fail}"
     combine_4800()
     for scale in (300, 1200, 4800):

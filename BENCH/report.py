@@ -44,6 +44,15 @@ _REV_SERIES = {
     # doc-only commits between runs shift recorded HEAD; same code as bf42cc1
     "bf42cc1": "r4c", "acaa871": "r4c", "c9917e5": "r4c", "8cc0549": "r4c",
     "23eca4c": "r4c", "7186d22": "r4c",
+    # final-HEAD control series: eabf453..e6a29c7 are doc/coverage-op
+    # commits with an identical dedup-pipeline path (counters byte-equal);
+    # their walls are host-inflated and BASELINE §3 quotes them as a
+    # control, not as efficiencies
+    "eabf453": "r4ctl", "274ecdd": "r4ctl", "e6a29c7": "r4ctl",
+    # round-4-close series (review fixes; pipeline value-identical)
+    "1a2cb65": "r4close",
+    # final HEAD (edge-case batches + counters-from-materialization)
+    "b06906b": "r4final",
 }
 
 
@@ -58,18 +67,21 @@ def series_of(r: dict) -> str:
 
 def main() -> None:
     rows = load(sys.argv[1] if len(sys.argv) > 1 else "BENCH/scaling_results.jsonl")
+    # single-run-cold diagnostics must NOT enter the warm medians (their
+    # wall_sec is a cold wall by the record's own protocol field; mixing
+    # one into a 2-row group silently averaged cold into "warm wall med")
+    diags = [r for r in rows if r.get("protocol") == "single-run-cold"]
+    warm_rows = [r for r in rows if r.get("protocol") != "single-run-cold"]
     groups: dict[tuple[str, int, int], list[dict]] = {}
-    for r in rows:
+    for r in warm_rows:
         groups.setdefault((series_of(r), r["cpus"], r["scale"]), []).append(r)
 
-    # counters must be identical within (series, scale) — byte-identical work
-    for key_s, key_scale in {(s, sc) for s, _, sc in groups}:
-        cs = [
-            r["counters"]
-            for (s, c, sc), g in groups.items()
-            if s == key_s and sc == key_scale
-            for r in g
-        ]
+    # counters must be identical within (series, scale) — byte-identical
+    # work; asserted over ALL rows including the cold diagnostics
+    by_sk: dict[tuple[str, int], list[dict]] = {}
+    for r in rows:
+        by_sk.setdefault((series_of(r), r["scale"]), []).append(r["counters"])
+    for (key_s, key_scale), cs in by_sk.items():
         assert all(c == cs[0] for c in cs), (
             f"counter drift at scale {key_scale} within series {key_s}"
         )
@@ -133,12 +145,25 @@ def main() -> None:
     for (ser, cpus, scale), g in sorted(
         groups.items(), key=lambda kv: (kv[0][0], kv[0][2], kv[0][1])
     ):
-        meds = [med([r["stages"].get(s) or 0.0 for r in g]) for s in stages]
-        print(
-            f"| {ser} | {cpus} | {scale} | "
-            + " | ".join(f"{v:.1f}" for v in meds)
-            + " |"
-        )
+        # median over the runs that actually RAN the stage — coercing a
+        # missing stage to 0.0 dragged the median toward zero
+        cells = []
+        for s in stages:
+            vals = [
+                r["stages"][s]
+                for r in g
+                if r.get("stages", {}).get(s) is not None
+            ]
+            cells.append(f"{med(vals):.1f}" if vals else "—")
+        print(f"| {ser} | {cpus} | {scale} | " + " | ".join(cells) + " |")
+
+    if diags:
+        print("\n### Single-run-cold diagnostics (excluded from warm medians)\n")
+        for d in diags:
+            print(
+                f"- [{series_of(d)}] local[{d['cpus']}] scale {d['scale']}"
+                f" heap {d.get('heap') or '?'}: cold wall {d['wall_sec']:.1f}s"
+            )
 
     rec = [r for r in rows if "recall" in r]
     for r in rec:

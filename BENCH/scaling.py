@@ -47,7 +47,19 @@ CHUNK = 1200
 def ensure_corpus(spark, scale: int) -> str:
     path = corpus_path(scale)
     truth = path.replace("transcripts_", "truth_clusters_")
-    if os.path.exists(path) and os.path.exists(truth):
+    # Completeness, not mere existence: a killed build leaves a readable
+    # partial dir that the old check accepted — a truncated corpus would
+    # then be measured and recorded under the full scale.  Single-chunk
+    # builds are complete iff Spark's job-commit _SUCCESS exists in both
+    # dirs; multi-chunk (append-mode) builds get an explicit marker
+    # written only after the last chunk.
+    marker = path + ".complete"
+    if scale <= CHUNK:
+        if os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
+            os.path.join(truth, "_SUCCESS")
+        ):
+            return path
+    elif os.path.exists(marker):
         return path
     from pyspark.sql import functions as F
 
@@ -59,6 +71,8 @@ def ensure_corpus(spark, scale: int) -> str:
         tc.write.mode("overwrite").parquet(truth)
         return path
     assert scale % CHUNK == 0, f"big scales must be multiples of {CHUNK}"
+    if os.path.exists(marker):
+        os.remove(marker)
     for i in range(scale // CHUNK):
         corpus = synth.generate(synth.SynthConfig(seed=42 + i, scale=CHUNK))
         t, _, tc = synth.to_spark(spark, corpus)
@@ -71,6 +85,8 @@ def ensure_corpus(spark, scale: int) -> str:
             F.concat(pre, "conv_id").alias("conv_id"),
             F.concat(pre, "cluster_id").alias("cluster_id"),
         ).write.mode(mode).parquet(truth)
+    with open(marker, "w") as f:
+        json.dump({"scale": scale, "chunks": scale // CHUNK}, f)
     return path
 
 
@@ -131,17 +147,10 @@ def main() -> None:
     # tax inside its wall.  The REPORTED number is unaffected — it is the
     # warm second run, whose arenas the first pass populated either way;
     # this only shrinks the campaign's untimed+cold wall-clock.
-    from pyspark.sql import functions as F
     from sketch_spark.operators import suffix as _suffix
 
-    total_chars = t.agg(F.sum(F.length("text"))).collect()[0][0] or 0
-    # per-kernel-call volume is capped by the winnow in-batch char bound
-    # (suffix.MAX_BATCH_CHARS); pre-touch for whichever bound binds
-    per_task = min(
-        int(total_chars * 1.6 / (2 * cpus)),
-        int(_suffix.MAX_BATCH_CHARS),
-    ) + 1024
-    _suffix.pretouch_arena(spark, 2 * cpus, per_task)
+    # shared sizing policy with bench.py — one implementation
+    _suffix.pretouch_for(spark, t, 2 * cpus)
 
     # SCALING_REPEAT=1: run the identical pipeline twice in the same JVM
     # and report both walls.  This host lazily populates fresh pages at

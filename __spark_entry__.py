@@ -19,11 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+def entry(
+    spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001"
+) -> DataFrame:
+    """Flagship query; driver calls entry(spark) and checks rows>0 (the
+    default keeps that contract — sf_dir exists for deployment drivers
+    like scripts/run_queries.py that point the flagship elsewhere)."""
     from sketch_spark.operators.dedup import document_clusters
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return document_clusters(docs)
 
 

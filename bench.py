@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -136,8 +137,10 @@ def main() -> None:
             n = EQ.QUERIES[name](spark, sf_dir).count()
             walls.append(round(time.time() - t0, 3))
         timings_cold[name] = walls[0]
-        ws = sorted(walls[1:])
-        timings[name] = ws[len(ws) // 2]
+        # true median (statistics convention, averaging the middle pair at
+        # even rep counts — ws[len//2] silently picked the upper-middle,
+        # i.e. the MAX at reps=2)
+        timings[name] = round(statistics.median(walls[1:]), 3)
         print(f"# {name}: {n} rows, warm median {timings[name]}s "
               f"(cold {walls[0]}s, warm reps {walls[1:]})", file=sys.stderr)
 
@@ -150,7 +153,9 @@ def main() -> None:
     gen_t0 = time.time()
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache", f"transcripts_scale{scale}.parquet")
-    if os.path.exists(cache):
+    # _SUCCESS, not bare existence: a killed write leaves a readable
+    # partial dir that would silently bench a truncated corpus
+    if os.path.exists(os.path.join(cache, "_SUCCESS")):
         t = spark.read.parquet(cache)
         n_turns = t.count()
         print(f"# corpus: {n_turns} turns (scale {scale}) from cache", file=sys.stderr)
@@ -186,14 +191,8 @@ def main() -> None:
     warm_t0 = time.time()
     from sketch_spark.operators import suffix as _suffix
 
-    total_chars = t.agg(F.sum(F.length("text"))).collect()[0][0] or 0
-    # per-kernel-call volume is capped by the winnow in-batch char bound
-    # (suffix.MAX_BATCH_CHARS); pre-touch for whichever bound binds
-    per_task = min(
-        int(total_chars * 1.6 / (2 * cpus)),
-        int(_suffix.MAX_BATCH_CHARS),
-    ) + 1024
-    touched = _suffix.pretouch_arena(spark, 2 * cpus, per_task)
+    # shared sizing policy with BENCH/scaling.py — one implementation
+    touched = _suffix.pretouch_for(spark, t, 2 * cpus)
     print(f"# worker arenas pre-touched ({touched >> 20} MB reported) in "
           f"{time.time() - warm_t0:.1f}s", file=sys.stderr)
     # Untimed full warm rep, then BENCH_PIPELINE_REPS timed reps with the
@@ -239,7 +238,10 @@ def main() -> None:
         runs.append((wall, stages, pipe))
         print(f"# dedup rep {i}: {wall}s stages={stages}", file=sys.stderr)
     runs.sort(key=lambda r: r[0])
-    dedup_s, stage_s, pipe = runs[len(runs) // 2]
+    # median_low: an actual element (its stage log and counters stay
+    # paired with the reported wall); identical to the median at odd rep
+    # counts, lower-middle instead of upper-middle at even ones
+    dedup_s, stage_s, pipe = runs[(len(runs) - 1) // 2]
     timings["dedup_pipeline"] = dedup_s
     tps = round(n_turns / dedup_s, 1)
     print(f"# dedup: {n_turns} turns in {dedup_s}s (median of "

@@ -44,7 +44,11 @@ def main() -> None:
     spark = get_spark("queries-submit", master="inherit")
 
     t0 = time.time()
-    entry_rows = E.entry(spark).count() if args.entry_sf_dir else None
+    # pass the flag through (it was previously only a truthiness gate and
+    # entry() always read its default dir)
+    entry_rows = (
+        E.entry(spark, args.entry_sf_dir).count() if args.entry_sf_dir else None
+    )
 
     con = None
     if not args.skip_oracle:

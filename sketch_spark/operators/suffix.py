@@ -980,6 +980,29 @@ def _pretouch_kernels(n_chars: int, L: int = DEFAULT_L, k: int = DEFAULT_K) -> i
     return sum(a.nbytes for a in _ARENA.values())
 
 
+def pretouch_for(
+    spark,
+    transcripts_df,
+    n_tasks: int,
+    text_col: str = "text",
+    margin: float = 1.6,
+) -> int:
+    """Size and run pretouch_arena for a transcript table — THE shared
+    sizing policy (total_chars * margin / n_tasks, capped by the winnow
+    in-batch char bound MAX_BATCH_CHARS, +1 KiB pad).  bench.py and
+    BENCH/scaling.py both call this so the two harnesses cannot drift
+    (they previously carried verbatim copies of the sizing block)."""
+    from pyspark.sql import functions as _F
+
+    total_chars = (
+        transcripts_df.agg(_F.sum(_F.length(text_col))).collect()[0][0] or 0
+    )
+    per_task = min(
+        int(total_chars * margin / n_tasks), int(MAX_BATCH_CHARS)
+    ) + 1024
+    return pretouch_arena(spark, n_tasks, per_task)
+
+
 def pretouch_arena(
     spark, n_tasks: int, chars_per_task: int, L: int = DEFAULT_L, k: int = DEFAULT_K
 ) -> int:

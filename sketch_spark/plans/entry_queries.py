@@ -35,7 +35,14 @@ from sketch_spark.functions.hashing import (
 # ---------------------------------------------------------------------------
 
 # tokens of d.text as a DuckDB list expression
-SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)"
+# Explicit ASCII whitespace class, NOT \s: Java/Spark \s is
+# [ \t\n\x0B\f\r] while DuckDB's RE2 \s lacks \x0B (vertical tab) — a
+# text containing VT would tokenize differently across the two engines.
+# tokens_py (functions/text.py) documents the same trap for Python's
+# unicode-aware \s.  The class below is Java-\s spelled out, so all
+# three engines split identically by construction.
+SQL_WS = "[ \\t\\n\\x0B\\f\\r]+"
+SQL_TOKS = f"list_filter(string_split_regex(text, '{SQL_WS}'), t -> length(t) > 0)"
 
 # per-token polynomial hash list
 SQL_TOKHASH = (
@@ -676,7 +683,7 @@ Q12_SQL = rf"""
 WITH tk AS (SELECT doc_id, COALESCE(text, '') AS text,
             {SQL_TOKS.replace("text", "COALESCE(text, '')")} AS toks,
             list_filter(string_split_regex(lower(COALESCE(text, ''))
-                , '\s+'), t -> length(t) > 0) AS ltoks
+                , '{SQL_WS}'), t -> length(t) > 0) AS ltoks
             FROM documents)
 SELECT doc_id,
   CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -702,7 +709,7 @@ def q13_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q13_SQL = rf"""
 WITH tk AS (SELECT doc_id, COALESCE(text, '') AS text,
             list_filter(string_split_regex(lower(COALESCE(text, ''))
-                , '\s+'), t -> length(t) > 0) AS ltoks
+                , '{SQL_WS}'), t -> length(t) > 0) AS ltoks
             FROM documents)
 SELECT doc_id,
   CASE WHEN len(ltoks) > 0

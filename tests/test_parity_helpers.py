@@ -161,3 +161,32 @@ def test_phll_quantize_saturates(spark):
     assert np.minimum(np.maximum(a, b), 15).tolist() == np.maximum(
         np.minimum(a, 15), np.minimum(b, 15)
     ).tolist()
+
+
+def test_tokenizer_identical_across_engines_on_vertical_tab(spark):
+    """Java/Spark \\s includes \\x0B; DuckDB's RE2 \\s does not.  The SQL
+    tier therefore spells out the Java class (entry_queries.SQL_WS) —
+    this pins that all three tokenizers split a VT-containing text
+    identically."""
+    import duckdb
+
+    from sketch_spark.functions import text as T
+    from sketch_spark.plans.entry_queries import SQL_WS
+
+    s = "a\x0bb  c\td"
+    expected = ["a", "b", "c", "d"]
+    assert T.tokens_py(s) == expected
+    got_spark = (
+        spark.createDataFrame([(s,)], "text string")
+        .select(T.tokens_col(F.col("text")).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert list(got_spark) == expected
+    con = duckdb.connect()
+    got_duck = con.execute(
+        f"SELECT list_filter(string_split_regex(?, '{SQL_WS}'), "
+        "t -> length(t) > 0)",
+        [s],
+    ).fetchone()[0]
+    assert list(got_duck) == expected
