@@ -117,3 +117,46 @@ def test_changed_config_recomputes(spark, corpus, tmp_path):
     p2.run(t)["clusters"].count()
     assert not any(e.get("resumed") for e in p2.ckpt.log)
     shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_kill_mid_stage_partition_resume(spark, corpus, tmp_path):
+    """North rule 'per-partition lineage': a run killed mid-way through the
+    partitioned conv stage must resume computing ONLY the missing
+    partitions and still produce a final table identical to a clean run
+    (VERDICT r4 next-round #3)."""
+    t, _, _ = synth.to_spark(spark, corpus)
+    cfg = DedupConfig(resume_partitions=8)
+
+    # clean run = ground truth
+    ck0 = str(tmp_path / "ck_clean")
+    clean = sorted(
+        map(tuple, DedupPipeline(spark, cfg, checkpoint_dir=ck0).run(t)["clusters"].collect())
+    )
+
+    # killed run: injected failure after 3 committed partitions
+    ck = str(tmp_path / "ck_kill")
+    p1 = DedupPipeline(spark, cfg, checkpoint_dir=ck)
+    p1.ckpt._fail_after_part_commits = 3
+    with pytest.raises(RuntimeError, match="injected failure"):
+        p1.run(t)
+    import json, os
+    partial = json.load(open(os.path.join(ck, "conv", "partial.json")))
+    assert len(partial["done"]) == 3 and partial["num_parts"] == 8
+
+    # resume: only the 5 missing partitions recompute; final table matches
+    p2 = DedupPipeline(spark, cfg, checkpoint_dir=ck)
+    r2 = sorted(map(tuple, p2.run(t)["clusters"].collect()))
+    conv_log = [e for e in p2.ckpt.log if e["stage"] == "conv"][0]
+    assert conv_log["recomputed_parts"] == 5
+    assert r2 == clean
+    # the conv manifest records the partition layout; partial.json is gone
+    man = json.load(open(os.path.join(ck, "conv", "manifest.json")))
+    assert man["num_parts"] == 8 and man["partitioned_by"] == "_part"
+    assert not os.path.exists(os.path.join(ck, "conv", "partial.json"))
+    # a third run resumes the whole stage without touching partitions
+    p3 = DedupPipeline(spark, cfg, checkpoint_dir=ck)
+    r3 = sorted(map(tuple, p3.run(t)["clusters"].collect()))
+    assert r3 == clean
+    assert [e for e in p3.ckpt.log if e["stage"] == "conv"][0].get("resumed")
+    shutil.rmtree(ck, ignore_errors=True)
+    shutil.rmtree(ck0, ignore_errors=True)
