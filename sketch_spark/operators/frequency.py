@@ -397,18 +397,20 @@ def lpcqf_query(
 
     Join strategy: the reference structure is nregs slots of memory, and
     the relational cell count is bounded by min(distinct keys,
-    nregs * 2^sigbits) — small nregs (the usual sizing: the user is
-    sizing memory) means a broadcastable table, but a table sized for
-    10^8+ keys must NOT be forced through a broadcast.  Auto policy:
-    broadcast iff nregs <= 2^22 (~copyable per executor); AQE still picks
-    a broadcast on its own when runtime stats allow.  Override with
-    broadcast_sketch."""
+    nregs * 2^sigbits) — the relational form has no slot saturation, so
+    sigbits MUST be part of the bound: with sigbits=8 a saturated
+    nregs=2^22 sketch can hold 2^30 cells, an executor OOM if force-
+    broadcast (round-5 ADVICE).  Auto policy: broadcast iff
+    nregs * 2^sigbits <= 2^22 (~copyable per executor); otherwise the
+    probe-side semi-filter below bounds the broadcast by #probes instead,
+    and AQE still picks a broadcast on its own when runtime stats allow.
+    Override with broadcast_sketch."""
     bucket, sig = _lpcqf_cell(F.col(key_col), nregs, sigbits, hash_fn)
     probes = keys.select(
         F.col(key_col), bucket.alias("bucket"), sig.alias("sig")
     )
     if broadcast_sketch is None:
-        broadcast_sketch = nregs <= (1 << 22)
+        broadcast_sketch = nregs * (1 << sigbits) <= (1 << 22)
     if broadcast_sketch:
         rhs = F.broadcast(sketch)
     else:

@@ -589,6 +589,12 @@ def hyperbitbit_groups(
     are gathered to one task (applyInPandas); that is the honest cost of a
     non-mergeable sketch — this operator is for MANY bounded groups, not
     one giant stream (use hll_registers for that).
+
+    Null hashes are dropped Spark-side (see the float64-lift note below),
+    so a group whose hashes are ALL null is ABSENT from the output — it
+    does not return an initial-state row (est ~ 2^10.8) as pre-round-5
+    versions did.  Callers joining estimates back should left-join and
+    treat a missing group as empty.
     """
     order = [ord_col, hash_col] if ord_col else [hash_col]
 
@@ -668,6 +674,12 @@ def hyperhyperbitbit_groups(
     Fold order within a shard is DEFINED as ascending (ord_col, hash)
     like hyperbitbit_groups — reproducible across runs and partitionings.
     Output: (group, est) with the per-shard states aggregated away.
+
+    As with hyperbitbit_groups, null hashes are dropped Spark-side, so a
+    group whose hashes are ALL null is ABSENT from the output (no
+    initial-state row); left-join estimates back and treat a missing
+    group as empty.  Shards that are empty within a PRESENT group still
+    contribute their initial state, as in the reference.
     """
     order = [ord_col, hash_col] if ord_col else [hash_col]
 

@@ -116,12 +116,20 @@ def ntcard_report_np(counters: np.ndarray, r: int, p: int) -> np.ndarray:
 
 
 def ntcard_estimate(
-    buckets: DataFrame, r: int = 8, p: int = 4
+    buckets: DataFrame, r: int = 8, p: int = 4, corrected: bool = False
 ) -> DataFrame:
     """(g, bucket, cnt) -> (g, f0, f_i array<double>): the coverage
     estimate per group.  Per-group work is bounded by the counter-table
     size (2*2^r cells, <= maxcnt+1 histogram values) — applyInPandas runs
-    the tiny recursion where the group's cells land, no driver collect."""
+    the tiny recursion where the group's cells land, no driver collect.
+
+    `corrected=False` (default) returns the LITERAL reference formula
+    values, which carry mult.h's x1/2 convention — f0 is ~half the true
+    distinct count (deliberate register-exact parity, see module
+    docstring and tests).  Pass corrected=True for consumer-facing
+    estimates: f0 and every f_i are scaled by the documented 2x factor
+    (round-5 ADVICE: callers using the literal values naively measured
+    ~D/2)."""
     half = 1 << r
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -130,6 +138,8 @@ def ntcard_estimate(
             dtype=np.int64
         )
         f = ntcard_report_np(counters, r, p)
+        if corrected:
+            f = f * 2.0
         return pd.DataFrame(
             {"g": [pdf["g"].iloc[0]], "f0": [float(f[0])],
              "f_i": [f[1:].astype(np.float64)]}

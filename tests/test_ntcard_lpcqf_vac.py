@@ -378,3 +378,20 @@ def test_vac_hll_group_key_exact_for_nulls_and_separator_strings(spark):
             exp = hll_registers_np(khash[keep], p)
             row = sub[sub["level"] == level].iloc[0]
             assert list(row["regs"]) == list(exp), (g, level)
+
+
+def test_ntcard_estimate_corrected_scales_2x(spark):
+    """corrected=True applies the documented 2x factor to f0 and every
+    f_i (round-5 ADVICE: naive consumers of the literal values got ~D/2)."""
+    rng = np.random.default_rng(SEED + 1)
+    keys = rng.integers(0, 1 << 62, size=30_000, dtype=np.uint64)
+    hashes = wanghash_np(keys)
+    df = spark.createDataFrame(pd.DataFrame({"g": "x", "h": hashes.astype(np.int64)}))
+    r, p = 10, 5
+    buckets = ntcard_buckets(df, "g", "h", r=r, p=p, maxcnt=255)
+    lit = ntcard_estimate(buckets, r=r, p=p).collect()[0]
+    cor = ntcard_estimate(buckets, r=r, p=p, corrected=True).collect()[0]
+    assert cor["f0"] == pytest.approx(2 * lit["f0"])
+    assert np.allclose(np.asarray(cor["f_i"]), 2 * np.asarray(lit["f_i"]))
+    # and the corrected value is the one near truth
+    assert abs(cor["f0"] - 30_000) / 30_000 < 0.15
