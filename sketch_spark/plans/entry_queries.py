@@ -2122,6 +2122,81 @@ FROM lv GROUP BY 1, 2
 """
 
 
+def q41_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface as an oracle row (VERDICT r4 #6):
+    replay the events table as a deterministic file stream (one parquet
+    file per micro-batch, so the replay is a genuine multi-batch run),
+    drive the watermarked `windowed_counts` operator to a memory sink in
+    COMPLETE output mode with an availableNow trigger, and return the
+    final window table.  Batch-equivalence is the contract: complete-mode
+    final state is the full aggregation over every micro-batch, so it
+    must equal the same tumbling-window aggregation computed in one batch
+    — which is exactly what the DuckDB oracle computes.
+
+    Timezone proofing: events.ts is TIMESTAMP_NTZ; watermarks require an
+    instant, so it is cast through the session timezone and the window
+    start is rendered BACK to the wall clock with date_format — a
+    round-trip that is exact for 15-minute tumbling windows under every
+    real timezone (all offsets are multiples of 15 minutes), so the
+    result matches DuckDB's wall-clock time_bucket no matter which
+    session timezone the driver harness runs with."""
+    from sketch_spark.streaming.topk import windowed_counts
+
+    path = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(path)
+    # FileStreamSource needs a DIRECTORY of files, and a multi-file layout
+    # is what makes the replay a real multi-batch run: stage a 4-file copy
+    # once per (session, sf_dir).  Complete-mode final state is
+    # content-only, so the file split cannot affect the result.
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.sha256(path.encode()).hexdigest()[:12]
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"q41_events_{tag}"
+    )
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        batch.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    wc = windowed_counts(
+        stream, "event_type", "ts", window="15 minutes", watermark="30 minutes"
+    )
+    sink = "q41_stream_sink"
+    try:
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    q = (
+        wc.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.date_format("start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        F.col("event_type"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+Q41_SQL = """
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S')
+         AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2167,6 +2242,7 @@ QUERIES = {
     "q38_ntcard_buckets": q38_ntcard_buckets,
     "q39_lpcqf_counts": q39_lpcqf_counts,
     "q40_vac_cascade": q40_vac_cascade,
+    "q41_streaming_windowed_counts": q41_streaming_windowed_counts,
 }
 
 ORACLES = {
@@ -2210,4 +2286,5 @@ ORACLES = {
     "q38_ntcard_buckets": Q38_SQL,
     "q39_lpcqf_counts": Q39_SQL,
     "q40_vac_cascade": Q40_SQL,
+    "q41_streaming_windowed_counts": Q41_SQL,
 }
