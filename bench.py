@@ -1,14 +1,44 @@
 #!/usr/bin/env python3
 """Benchmark harness: headline queries + transcript dedup throughput.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE JSON line.  FROZEN ARTIFACT SCHEMA (v1 — round-over-round
+comparisons depend on these fields; add, never rename/remove):
+
+  metric              "end_to_end_bench_seconds"
+  value               sum of warm-median query walls + median dedup wall
+  unit                "sec"
+  queries             {name: warm-median seconds} + "dedup_pipeline"
+  queries_cold        {name: first-execution seconds} (JVM one-time costs)
+  sf                  scale factor parsed from SPARK_GRAFT_SF_DIR
+  dedup_turns         corpus size actually benchmarked
+  dedup_turns_per_sec dedup_turns / median dedup wall
+  cpus                local[N]
+  counters            pipeline lineage counters of the MEDIAN rep
+  counters_expected   pinned counters for the default corpus (null when
+                      BENCH_TURNS deviates from the pinned scale)
+  counters_match      counters == counters_expected (null when not pinned);
+                      false means the walls compare DIFFERENT WORK — treat
+                      any timing delta as unattributable until resolved
+  dedup_stages        per-stage seconds of the median rep
+  dedup_rep_walls     all rep walls, sorted
+  load1_at_start      host load after the idle gate (comparability signal)
+  idle_wait_s         seconds spent in the idle gate
+  protocol            measurement protocol descriptor (reps, statistics,
+                      warmup inventory, idle gate) — if two artifacts have
+                      different protocol values, do not compare them
+
+Protocol (see BENCH/BASELINE.md §3b for why): bounded idle-wait, untimed
+warmup (table scan, shuffle, Python workers, kernel arena pre-touch,
+10%-sample pipeline rep), then 1 cold + BENCH_QUERY_REPS warm runs per
+query (warm MEDIAN reported) and BENCH_PIPELINE_REPS full pipeline reps
+(median_low reported, stages/counters paired with that rep).
 
 Env:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   BENCH_TURNS          approx synthetic transcript turns for the dedup run
                        (default 200_000)
+  BENCH_QUERY_REPS / BENCH_PIPELINE_REPS / BENCH_IDLE_WAIT_S  see below
 """
 
 from __future__ import annotations
@@ -22,6 +52,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sketch_spark import get_spark  # noqa: E402
+
+# Pinned lineage counters for the DEFAULT bench corpus (BENCH_TURNS=200000
+# -> synth scale 21 -> 199,825 turns, seed 42).  Identical across rounds
+# 2-4; any drift means the bench is timing DIFFERENT WORK (a plan change
+# that altered candidate generation, a synth change, a routing bug) and
+# the artifact flags it via counters_match=false (VERDICT r4 #7).
+PINNED_TURNS = 199_825
+PINNED_COUNTERS = {
+    "convs": 8149,
+    "exact_pairs": 721,
+    "candidate_pairs": 100328,
+    "verified_pairs": 99613,
+    "substring_pairs": 9659,
+    "cc_iterations": 2,
+    "clusters": 4684,
+}
 
 
 def main() -> None:
@@ -248,6 +294,19 @@ def main() -> None:
           f"{[r[0] for r in runs]}) = {tps} turns/s; "
           f"stages={stage_s}; counters={pipe.counters}", file=sys.stderr)
 
+    pinned = n_turns == PINNED_TURNS
+    counters_match = (dict(pipe.counters) == PINNED_COUNTERS) if pinned else None
+    if counters_match is False:
+        diff = {
+            k: (PINNED_COUNTERS.get(k), pipe.counters.get(k))
+            for k in set(PINNED_COUNTERS) | set(pipe.counters)
+            if PINNED_COUNTERS.get(k) != pipe.counters.get(k)
+        }
+        print(
+            "# COUNTER MISMATCH vs pinned set (expected, got): "
+            f"{diff} — walls below time DIFFERENT WORK", file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "end_to_end_bench_seconds",
@@ -264,6 +323,18 @@ def main() -> None:
         "queries_cold": timings_cold,
         "load1_at_start": round(load1, 2),
         "idle_wait_s": round(waited, 1),
+        "counters_expected": PINNED_COUNTERS if pinned else None,
+        "counters_match": counters_match,
+        "protocol": {
+            "version": 1,
+            "query_reps": reps,
+            "pipeline_reps": p_reps,
+            "query_stat": "warm_median",
+            "pipeline_stat": "median_low",
+            "warmup": "scan+shuffle+py-workers+arena-pretouch+10pct-sample-rep",
+            "idle_gate_load1": 2.0,
+            "driver_mem": os.environ.get("SPARK_DRIVER_MEM"),
+        },
     }))
     spark.stop()
 
