@@ -425,7 +425,7 @@ MAX_BATCH_CHARS = 32_000_000
 
 
 def _winnow_group(convs: list, id_col: str, k: int, w: int) -> pd.DataFrame:
-    ids, fps, poss = [], [], []
+    ids = fps = poss = ()
     if convs:
         codes = [
             np.frombuffer(
@@ -458,17 +458,41 @@ def _winnow_group(convs: list, id_col: str, k: int, w: int) -> pd.DataFrame:
             out=_cap_buf("wf_wam", max(nwam, 1), np.int64)
             if nwam > 0 else None,
         )
-        for (cid, _), st, ln in zip(convs, starts, lens):
+        # Selection is fully vectorized across the group (the per-conv
+        # np.unique + .tolist() loop was ~40% of warm kernel CPU at bench
+        # scale): texts own DISJOINT global position ranges, so one global
+        # np.unique over the masked wam equals the per-text uniques, and
+        # np.searchsorted(starts) maps each selected position back to its
+        # text.  Value- and multiplicity-identical to the loop (asserted
+        # in tests/test_suffix.py).
+        mask = _cap_buf("wf_mask", max(nwam, 1), np.bool_)
+        mask[:nwam] = False
+        short_sel = []
+        for (_, _), st, ln in zip(convs, starts, lens):
             n = int(ln) - k + 1
             if n <= 0:
                 continue
+            st = int(st)
             if n <= w:
-                sel = np.array([int(np.argmin(allh[st : st + n]))])
+                # single evaluated window: leftmost argmin of the text's
+                # own hash range (identical to window_argmin's tie rule)
+                short_sel.append(st + int(np.argmin(allh[st : st + n])))
             else:
-                sel = np.unique(wam[st : st + n - w + 1]) - st
-            ids.extend([cid] * len(sel))
-            fps.extend(allh[st + sel].astype(np.int64).tolist())
-            poss.extend(sel.astype(np.int64).tolist())
+                mask[st : st + n - w + 1] = True
+        parts = []
+        if nwam > 0:
+            parts.append(np.unique(wam[:nwam][mask[:nwam]]))
+        if short_sel:
+            parts.append(np.asarray(short_sel, dtype=np.int64))
+        if parts:
+            sel = np.sort(np.concatenate(parts)) if len(parts) > 1 else parts[0]
+            ci = np.searchsorted(starts, sel, side="right") - 1
+            cid_arr = np.empty(len(convs), dtype=object)
+            for i, (cid, _) in enumerate(convs):
+                cid_arr[i] = cid
+            ids = cid_arr[ci]
+            fps = allh[sel].astype(np.int64)
+            poss = (sel - starts[ci]).astype(np.int64)
     return pd.DataFrame({id_col: ids, "fp": fps, "pos": poss})
 
 

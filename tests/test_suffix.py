@@ -306,3 +306,39 @@ def test_winnow_single_long_chunked_bit_identical():
         zip(got["pos"], got["fp"])
     )
     assert len(got) == len(set(got["pos"]))  # unique like np.unique
+
+
+def test_winnow_group_vectorized_matches_reference():
+    """The vectorized group selection (global masked unique + searchsorted)
+    must match a direct per-text reference winnow, including short texts
+    (single evaluated window), texts below k, and empty strings."""
+    import numpy as np
+    import random
+
+    from sketch_spark.operators.suffix import (
+        _winnow_group, _kgram_hashes_codes,
+    )
+
+    k, w = 5, 12
+    rng = random.Random(9)
+    texts = []
+    for i in range(40):
+        n = rng.choice([0, 2, 4, k - 1, k, k + 3, w + k - 2, w + k - 1, 60, 300])
+        texts.append((f"c{i}", "".join(rng.choice("abcdef") for _ in range(n))))
+    out = _winnow_group(texts, "conv_id", k, w)
+    got = set(zip(out["conv_id"], out["fp"], out["pos"]))
+
+    expect = set()
+    for cid, t in texts:
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        n = codes.size - k + 1
+        if n <= 0:
+            continue
+        h = _kgram_hashes_codes(codes, k)
+        sel = set()
+        for ws in range(max(n - w + 1, 1)):
+            span = h[ws : ws + w] if n > w else h[:n]
+            sel.add(ws + int(np.argmin(span)))
+        for p in sel:
+            expect.add((cid, int(np.int64(h[p])), p))
+    assert got == expect
