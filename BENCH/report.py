@@ -53,6 +53,11 @@ _REV_SERIES = {
     "1a2cb65": "r4close",
     # final HEAD (edge-case batches + counters-from-materialization)
     "b06906b": "r4final",
+    # round-5 kernels: deterministic hot-census routing (no driver key
+    # list / no 100k abort), per-partition resume plumbing, vectorized
+    # winnow selection — pipeline value-identical (counters byte-equal at
+    # scale 1200 across 2/8/32 cores, recall re-pinned 1.0)
+    "1b816e2": "r5",
 }
 
 
