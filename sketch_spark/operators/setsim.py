@@ -321,6 +321,270 @@ def overlap_join_hybrid(
     )
 
 
+# ---------------------------------------------------------------------------
+# Dense Gram-matrix overlap self-join (BLAS kernel)
+# ---------------------------------------------------------------------------
+
+# Per-task vocabulary bound for the dense path: rows x vocab float32 must
+# stay small enough that one sgemm per block pair beats the inverted-index
+# join.  At 16384 the worst task is ~2 GFLOP per 1k rows; above it the
+# kernel falls back to per-gram scatter adds (same output, Σ df_L·df_R
+# work at numpy speed instead of rows²·vocab FLOPs).
+DENSE_MAX_VOCAB = 16384
+
+# Hash-block rows per task: bounds the S = A @ B.T allocation at
+# ~(2·rows)²·4 bytes and gives the scheduler B(B+1)/2 tasks per block
+# group.  Scale-adaptive: derived from the largest group's row count, not
+# the cluster size (guide §2 — never a constant tuned to local[32]).
+DENSE_BLOCK_ROWS = 512
+# Replication factor cap: each row is shipped to B block-pair keys, so B
+# is bounded; beyond it blocks grow past DENSE_BLOCK_ROWS instead (the
+# kernel chunks the matmul internally, memory stays bounded).
+DENSE_MAX_BLOCKS = 64
+
+
+def _ngram_sets(texts, n: int):
+    """Distinct char n-grams per text — code-point slicing, identical to
+    Spark's substring(text, i, n) loop (functions/text.char_ngrams_col)
+    and the DuckDB oracle's substr: all three engines slice code points."""
+    out = []
+    for t in texts:
+        if isinstance(t, str) and len(t) >= n:
+            out.append(list({t[i : i + n] for i in range(len(t) - n + 1)}))
+        else:
+            out.append([])
+    return out
+
+
+def _pairs_from_counts(S, t, docs_l, docs_r, sz_l, sz_r, diagonal: bool):
+    """Emit qualifying (a, b, n_inter, n_a, n_b) rows from a count matrix.
+
+    S holds exact integer intersection counts (float32 is exact for
+    counts < 2^24; n-gram counts are bounded by text length).  For the
+    diagonal block rows are sorted by doc id, so ri < rj implies
+    doc[ri] < doc[rj]; cross blocks order each pair explicitly (block ids
+    come from a hash, not from doc-id ranges)."""
+    import numpy as np
+
+    Si = np.rint(S).astype(np.int64)
+    ri, rj = np.nonzero(Si >= t)
+    if diagonal:
+        keep = ri < rj
+        ri, rj = ri[keep], rj[keep]
+    if ri.size == 0:
+        return None
+    a = docs_l[ri]
+    b = docs_r[rj]
+    na = sz_l[ri]
+    nb = sz_r[rj]
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    na2 = np.where(swap, nb, na)
+    nb2 = np.where(swap, na, nb)
+    return a2, b2, Si[ri, rj], na2, nb2
+
+
+def _count_matrix_codes(code_lists_l, code_lists_r):
+    """Exact pairwise intersection-count matrix from per-doc DISTINCT gram
+    code arrays (ints; any shared code space — codes need not be compact).
+
+    Task-locally compacted via np.unique, then the dense path builds 0/1
+    float32 doc x gram matrices and S = A_l @ A_r.T — one sgemm,
+    rows_l·rows_r·vocab flops.  Fallback (task vocab past
+    DENSE_MAX_VOCAB): group rows by code and scatter-add per code,
+    Σ_g df_l(g)·df_r(g) adds.  Either way S holds the exact counts."""
+    import numpy as np
+
+    nl, nr = len(code_lists_l), len(code_lists_r)
+    same = code_lists_r is code_lists_l
+    lists = list(code_lists_l) + ([] if same else list(code_lists_r))
+    lens = np.array([len(g) for g in lists], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros((nl, nr), dtype=np.float32)
+    allc = np.concatenate([np.asarray(g, dtype=np.int64) for g in lists])
+    uniq = np.unique(allc)
+    codes = np.searchsorted(uniq, allc)
+    rows = np.repeat(np.arange(len(lists), dtype=np.int64), lens)
+    G = len(uniq)
+    if G <= DENSE_MAX_VOCAB:
+        A = np.zeros((len(lists), G), dtype=np.float32)
+        A[rows, codes] = 1.0
+        Al = A[:nl]
+        Ar = Al if same else A[nl:]
+        return Al @ Ar.T
+    # scatter fallback: per-code row lists via one sort, then outer adds
+    S = np.zeros((nl, nr), dtype=np.float32)
+    order = np.argsort(codes, kind="stable")
+    sc, sr = codes[order], rows[order]
+    starts = np.searchsorted(sc, np.arange(G))
+    ends = np.append(starts[1:], len(sc))
+    for g in range(G):
+        rws = sr[starts[g] : ends[g]]
+        if same:
+            rl = rr = rws
+        else:
+            rl = rws[rws < nl]
+            rr = rws[rws >= nl] - nl
+        if len(rl) and len(rr):
+            S[np.ix_(rl, rr)] += 1.0
+    return S
+
+
+def ngram_overlap_dense(
+    docs_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    t: int,
+    block_col: str = "source",
+    n_blocks: int | None = None,
+    target_block_rows: int | None = None,
+) -> DataFrame:
+    """Exact char-n-gram overlap self-join as per-block dense matrix
+    products: (a, b, n_inter, n_a, n_b) with a < b, n_inter >= t, blocked
+    on `block_col` — value-identical to
+    overlap_count_join(array_distinct(char_ngrams(text))) (tested).
+
+    Why (guide §1.2 step 1 + §4.2): the inverted-index count join costs
+    Σ_e df_e² join+agg rows through the JVM row machinery.  Char n-grams
+    over a corpus draw from a bounded vocabulary (measured: ~2k distinct
+    grams per source at sf0.1 AND sf1.0), so by sf1.0 nearly every gram is
+    shared by most docs in its source: Σ df² = 7.7e9 rows ≈ 270 s on
+    local[32].  But with vocab G ≈ 2k, the exact all-pairs intersection
+    counts of one source are a single docs×G by G×docs sgemm — BLAS moves
+    the identical Σ df² multiply-adds at memory speed: ~0.5 TFLOP total at
+    sf1.0, under 2 s across tasks.  Counts are integer-exact in float32
+    (bounded by text length < 2^24); there is no hashing anywhere, so no
+    collision risk — the matrix product IS |A ∩ B|.
+
+    Two phases (guide §2.3 — shuffle a lightweight proxy, not the payload,
+    and compute each expensive thing once):
+
+      1. per-block-group gram extraction + factorization: grams are
+         extracted and pd.factorize'd ONCE per group, and each doc leaves
+         as (id, block, int32 code array) — downstream tasks compare codes,
+         never strings, and the extraction is never replicated.
+      2. docs hash-split into B = ceil(rows/target) blocks per group; the
+         CODE rows (a few hundred ints/doc) are replicated to their
+         B(B+1)/2 block-pair tasks through one explicit
+         repartition(K, keys) exchange — explicit so AQE cannot coalesce
+         the compute-bound kernel stage down to a handful of byte-sized
+         tasks (measured: AQE sized the sgemm stage to 20 tasks from
+         ~45 MB of shuffle bytes, serializing the FLOPs).  Each task
+         np.unique-compacts its codes and runs the sgemm.
+
+    Per-task memory is O(target·G + target²) regardless of group size and
+    parallelism grows with data, not with the group count.  A task whose
+    vocab exceeds DENSE_MAX_VOCAB (natural long-text corpora) drops to a
+    per-code scatter-add with identical output.  Phase 1 is per-GROUP
+    (per source): the factorized code space must be group-global.  That
+    is the scale boundary of this operator — acceptable because the
+    OUTPUT (all qualifying within-group pairs) is itself Θ(rows²/group),
+    so a group too large for one phase-1 task is a group whose all-pairs
+    output is infeasible anyway; the inverted-index hybrid
+    (overlap_join_hybrid) remains the unbounded-group path.
+    """
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    assert t >= 1
+    spark = docs_df.sparkSession
+    if n_blocks is None:
+        target = target_block_rows or int(
+            os.environ.get("SPARK_GRAFT_DENSE_BLOCK_ROWS", DENSE_BLOCK_ROWS)
+        )
+        mx = (
+            docs_df.groupBy(block_col)
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        if mx is None:
+            mx = 0
+        n_blocks = min(DENSE_MAX_BLOCKS, max(1, -(-int(mx) // target)))
+    B = int(n_blocks)
+    dp = spark.sparkContext.defaultParallelism
+
+    blk_type = docs_df.select(F.col(block_col)).schema[0].dataType.simpleString()
+    d = docs_df.select(
+        F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"), F.col(text_col).alias("_txt")
+    )
+
+    def extract(pdf: pd.DataFrame) -> pd.DataFrame:
+        gsets = _ngram_sets(pdf["_txt"].tolist(), n)
+        lens = np.array([len(g) for g in gsets], dtype=np.int64)
+        flat = [g for gl in gsets for g in gl]
+        if flat:
+            codes, _ = pd.factorize(np.asarray(flat, dtype=object))
+            codes = codes.astype(np.int32)
+        else:
+            codes = np.empty(0, dtype=np.int32)
+        bounds = np.cumsum(lens)[:-1] if len(gsets) else []
+        return pd.DataFrame(
+            {
+                "_blk": pdf["_blk"],
+                "_id": pdf["_id"],
+                "_codes": np.split(codes, bounds) if len(gsets) else [],
+            }
+        )
+
+    coded = d.repartition(min(2 * dp, 2048), "_blk").groupBy("_blk").applyInPandas(
+        extract, schema=f"_blk {blk_type}, _id long, _codes array<int>"
+    )
+
+    ks = F.array([F.lit(k) for k in range(B)])
+    e = (
+        coded.withColumn("_b", F.pmod(F.xxhash64("_id"), F.lit(B)))
+        .withColumn("_k", F.explode(ks))
+        .select(
+            "_blk",
+            F.least("_b", "_k").alias("_i"),
+            F.greatest("_b", "_k").alias("_j"),
+            # side L = the doc's own block is the pair's lower block
+            (F.col("_b") <= F.col("_k")).alias("_left"),
+            "_id",
+            "_codes",
+        )
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("a", "b", "n_inter", "n_a", "n_b")}
+        )
+        diagonal = bool(pdf["_i"].iloc[0] == pdf["_j"].iloc[0])
+        left = pdf[pdf["_left"]].sort_values("_id")
+        docs_l = left["_id"].to_numpy(dtype=np.int64)
+        codes_l = left["_codes"].tolist()
+        sz_l = np.array([len(g) for g in codes_l], dtype=np.int64)
+        if diagonal:
+            docs_r, codes_r, sz_r = docs_l, codes_l, sz_l
+        else:
+            right = pdf[~pdf["_left"]].sort_values("_id")
+            docs_r = right["_id"].to_numpy(dtype=np.int64)
+            codes_r = right["_codes"].tolist()
+            sz_r = np.array([len(g) for g in codes_r], dtype=np.int64)
+        if len(docs_l) == 0 or len(docs_r) == 0:
+            return empty
+        S = _count_matrix_codes(codes_l, codes_r)
+        got = _pairs_from_counts(S, t, docs_l, docs_r, sz_l, sz_r, diagonal)
+        if got is None:
+            return empty
+        a, b, ni, na, nb = got
+        return pd.DataFrame(
+            {"a": a, "b": b, "n_inter": ni, "n_a": na, "n_b": nb}
+        )
+
+    return (
+        e.repartition(4 * dp, "_blk", "_i", "_j")
+        .groupBy("_blk", "_i", "_j")
+        .applyInPandas(kernel, schema="a long, b long, n_inter long, n_a long, n_b long")
+    )
+
+
 def overlap_join(
     sets_df: DataFrame,
     id_col: str,

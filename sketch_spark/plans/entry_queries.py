@@ -786,33 +786,36 @@ NG_MIN_INTER = 30
 
 
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact inverted-index count join (setsim.overlap_count_join) instead
-    of the all-pairs-within-source self-join: pairs exist only where a gram
-    is shared, and n_inter is counted inside the join's own codegen pipeline
-    (no array verify pass).  The prefix-filter variant (overlap_join) keeps
-    ~all of each 200-gram set at t=30, so its window ranks + verify join
-    were pure overhead here.  Output and oracle unchanged.
-    100x-scale path (wired, VERDICT r3 #3): setsim.overlap_join_hybrid
-    splits at a measured df threshold — count-join for rare grams,
-    signature-level pairing for stopword-like hot grams (value-identical,
-    tested in tests/test_setsim.py).  Its df census auto-falls back to the
-    plain count join when no gram is hot, so at bench scale the plan is
-    byte-identical to overlap_count_join plus one cheap isEmpty action,
-    while a df~n stopword gram at 100x data routes through the
-    sub-quadratic signature branch instead of a df² blowup.
-    |A∪B| = n_a + n_b - n_inter exactly (distinct sets), matching the
-    oracle's list_distinct(concat)."""
-    from sketch_spark.operators.setsim import overlap_join_hybrid
+    """Per-source dense Gram-matrix kernel (setsim.ngram_overlap_dense,
+    r6): exact |A ∩ B| for every within-source doc pair as one BLAS
+    sgemm per hash-block pair — no gram explode, no inverted-index join.
+    Replaces the r5 hybrid count join, whose Σ_e df_e² join+agg rows hit
+    7.7e9 at sf1.0 (measured 270 s warm on local[32]) because the corpus
+    vocabulary is bounded (~2k distinct grams per source at every sf), so
+    by sf1.0 most grams are shared by most docs of their source.  With
+    that same bounded vocab the exact all-pairs count matrix of a block
+    pair is (docs x G) @ (G x docs) — ~0.5 TFLOP total at sf1.0, ~100x
+    less wall (guide §1.2 step 1: change the algorithm, §4.2: hand whole
+    blocks to vectorized native code).  Counts are integer-exact (float32
+    holds ints < 2^24; n_inter <= text length); no hashing, no collision
+    risk.  Value-identical to the r5 plan (tests/test_setsim.py) and to
+    the unchanged oracle.  |A∪B| = n_a + n_b - n_inter exactly (distinct
+    sets), matching the oracle's list_distinct(concat)."""
+    from sketch_spark.operators.setsim import ngram_overlap_dense
 
-    g = _memo(
-        ("grams", spark.sparkContext.applicationId, sf_dir),
-        lambda: _docs(spark, sf_dir).select(
-            "doc_id",
-            "source",
-            F.array_distinct(T.char_ngrams_col(F.col("text"), NG)).alias("grams"),
-        ),
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    key = ("dense_blocks", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SCAN_SPLITS:
+        from sketch_spark.operators import setsim as _ss
+
+        mx = d.groupBy("source").count().agg(F.max("count")).first()[0] or 0
+        _SCAN_SPLITS[key] = min(
+            _ss.DENSE_MAX_BLOCKS, max(1, -(-int(mx) // _ss.DENSE_BLOCK_ROWS))
+        )
+    pairs = ngram_overlap_dense(
+        d, "doc_id", "text", NG, NG_MIN_INTER,
+        block_col="source", n_blocks=_SCAN_SPLITS[key],
     )
-    pairs = overlap_join_hybrid(g, "doc_id", "grams", NG_MIN_INTER, block_cols=("source",))
     return pairs.select(
         F.col("a").alias("a_doc"),
         F.col("b").alias("b_doc"),

@@ -132,6 +132,106 @@ def test_hybrid_hot_gram_skew_subquadratic(spark):
     assert sig.select("hs").distinct().count() == 1
 
 
+def _ngram_brute(rows, n, t):
+    """All within-block pairs with |grams(a) ∩ grams(b)| >= t, grams by
+    Python code-point slicing (the oracle semantics)."""
+    out = {}
+    grams = {
+        i: {txt[k : k + n] for k in range(len(txt) - n + 1)} if len(txt) >= n else set()
+        for i, _, txt in rows
+    }
+    for (ia, ba, _), (ib, bb, _) in itertools.combinations(rows, 2):
+        if ba != bb:
+            continue
+        inter = len(grams[ia] & grams[ib])
+        if inter >= t:
+            a, b = sorted((ia, ib))
+            out[(a, b)] = (inter, len(grams[a]), len(grams[b]))
+    return out
+
+
+def _rand_texts(seed, n_docs, blocks, alpha="abcd", lo=0, hi=40):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        ln = rng.randint(lo, hi)
+        rows.append(
+            (i, blocks[i % len(blocks)], "".join(rng.choice(alpha) for _ in range(ln)))
+        )
+    return rows
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_dense_ngram_matches_brute(spark, n_blocks):
+    """Dense Gram-matrix kernel == brute-force code-point n-gram intersect,
+    at one block (single sgemm per source) and multi-block (block-pair
+    tasks, cross-block ordering by doc id not block id)."""
+    from sketch_spark.operators.setsim import ngram_overlap_dense
+
+    rows = _rand_texts(7, 60, ["x", "y"], lo=0, hi=30)
+    # plant short/empty texts (no grams) and a duplicated text (max overlap)
+    rows[3] = (3, "x", "ab")
+    rows[4] = (4, "x", "")
+    rows[5] = (5, "y", rows[6][2])
+    df = spark.createDataFrame(rows, "id long, blk string, txt string")
+    got = {
+        (r.a, r.b): (r.n_inter, r.n_a, r.n_b)
+        for r in ngram_overlap_dense(
+            df, "id", "txt", 3, 2, block_col="blk", n_blocks=n_blocks
+        ).collect()
+    }
+    assert got == _ngram_brute(rows, 3, 2) and len(got) > 0
+
+
+def test_dense_ngram_scatter_fallback_identical(spark, monkeypatch):
+    """Vocab past DENSE_MAX_VOCAB must take the scatter-add path and emit
+    byte-identical pairs."""
+    from sketch_spark.operators import setsim
+
+    rows = _rand_texts(11, 40, ["x"], alpha="abcdefgh", lo=5, hi=35)
+    df = spark.createDataFrame(rows, "id long, blk string, txt string")
+    want = {
+        (r.a, r.b): (r.n_inter, r.n_a, r.n_b)
+        for r in setsim.ngram_overlap_dense(
+            df, "id", "txt", 3, 2, block_col="blk", n_blocks=2
+        ).collect()
+    }
+    monkeypatch.setattr(setsim, "DENSE_MAX_VOCAB", 1)
+    got = {
+        (r.a, r.b): (r.n_inter, r.n_a, r.n_b)
+        for r in setsim.ngram_overlap_dense(
+            df, "id", "txt", 3, 2, block_col="blk", n_blocks=2
+        ).collect()
+    }
+    assert got == want == _ngram_brute(rows, 3, 2) and len(got) > 0
+
+
+def test_dense_ngram_matches_count_join_on_spark_grams(spark):
+    """The kernel's in-Python gram extraction must agree with the Spark
+    char_ngrams_col + overlap_count_join plan (the r5 q15 shape)."""
+    from sketch_spark.functions import text as T
+    from sketch_spark.operators.setsim import ngram_overlap_dense
+
+    rows = _rand_texts(13, 50, ["s1", "s2", "s3"], alpha="abcde", lo=0, hi=45)
+    df = spark.createDataFrame(rows, "id long, blk string, txt string")
+    g = df.select(
+        "id", "blk", F.array_distinct(T.char_ngrams_col(F.col("txt"), 4)).alias("gs")
+    )
+    want = {
+        (r.a, r.b): (r.n_inter, r.n_a, r.n_b)
+        for r in overlap_count_join(g, "id", "gs", 2, ("blk",)).collect()
+    }
+    got = {
+        (r.a, r.b): (r.n_inter, r.n_a, r.n_b)
+        for r in ngram_overlap_dense(
+            df, "id", "txt", 4, 2, block_col="blk"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_hybrid_hot_only_pairs_found(spark):
     """Pairs whose shared elements are ALL hot must still be found (the
     signature branch), incl. cross-signature and within-signature cases."""
