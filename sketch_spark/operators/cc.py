@@ -87,8 +87,16 @@ def connected_components(
     """
     # Initial edges may carry pandas-UDF lineage (verify/substring stages),
     # which Spark 4.1 cannot localCheckpoint; write-and-reread through a
-    # scratch parquet dir as a lineage barrier.  Loop iterations are pure
-    # JVM plans, so eager localCheckpoint cuts lineage growth per round.
+    # scratch parquet dir as a lineage barrier.  (An r6 experiment replaced
+    # the barrier with a persisted e0 + InMemoryRelation substitution —
+    # measurably SLOWER, ~8 s vs ~3 s warm on a 110k-edge graph, and a
+    # persist-only loop without checkpoints grows the analyzed plan ~6x
+    # per round until the driver OOMs on a 33-node path graph.  The
+    # parquet barrier stays.)  Loop rounds use LAZY localCheckpoint (r6):
+    # the logical plan is truncated immediately, but materialization is
+    # left to the signature aggregation — ONE job per round where the r5
+    # loop paid two (eager checkpoint, then the signature pass), worth
+    # ~0.5 s/run at bench scale on a cost that is pure job latency.
     import shutil
     import tempfile
 
@@ -107,13 +115,13 @@ def connected_components(
     iters = 0
     for _ in range(max_iter):
         iters += 1
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # NB: the superseded iteration's checkpoint blocks are NOT freeable
         # here — DataFrame.unpersist() only touches CacheManager entries,
         # not localCheckpoint RDDs (verified: the persistentRDDs map is
         # unchanged by it).  They are bounded (edges shrink per round) and
         # the ContextCleaner reclaims them once the plan references drop.
-        sig = _signature(edges)
+        sig = _signature(edges)  # one job: materializes the round too
         if sig == prev_sig:
             break
         prev_sig = sig

@@ -158,16 +158,29 @@ def _poly_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         m30 = (1 << 30) - 1
 
+        from sketch_spark.functions.hashing import POLY_P, POLY_TOKEN_B
+
         def gen(batches):
             for pdf in batches:
-                sh_out, h60_out = [], []
+                sh_out, h60_out, fp_out = [], [], []
                 for t in pdf["text"]:
-                    toks = tokens_py(t or "")
+                    # fp mirrors fingerprint_col/Q01_SQL exactly, including
+                    # the null case (NULL text -> NULL fp on both engines)
+                    if t is None:
+                        fp_out.append(None)
+                        sh_out.append([])
+                        h60_out.append([])
+                        continue
+                    toks = tokens_py(t)
+                    th1 = [poly_hash_py(tok) for tok in toks]
+                    fp = 0
+                    for h in th1:
+                        fp = (fp * POLY_TOKEN_B + h) % POLY_P
+                    fp_out.append(fp)
                     if len(toks) < 3:
                         sh_out.append([])
                         h60_out.append([])
                         continue
-                    th1 = [poly_hash_py(tok) for tok in toks]
                     th2 = [poly_hash_py(tok, B2, P2) for tok in toks]
                     sh, h60 = [], []
                     for i in range(len(toks) - 2):
@@ -183,12 +196,14 @@ def _poly_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "source": pdf["source"],
                         "shingles": sh_out,
                         "h60": h60_out,
+                        "fp": pd.array(fp_out, dtype="Int64"),
                     }
                 )
 
         return d.mapInPandas(
             gen,
-            schema="doc_id long, source string, shingles array<long>, h60 array<long>",
+            schema="doc_id long, source string, shingles array<long>, "
+            "h60 array<long>, fp long",
         )
 
     return _memo(("polydocs", spark.sparkContext.applicationId, sf_dir), build)
@@ -208,9 +223,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q01_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    """fp now comes from the shared _poly_docs pass (r6): the Column-fold
+    fingerprint re-hashed every token through the interpreted HOF
+    evaluator per call (~1.1 s/rep at sf1.0), while _poly_docs already
+    hashes the identical tokens for q03-q08/q11/q19/q20 — one vectorized
+    pass, one extra fold per doc, parity-tested in test_entry.py.
+    fingerprint_col itself (the production column API) is unchanged."""
     return (
-        d.select(T.fingerprint_col(F.col("text")).alias("fp"))
+        _poly_docs(spark, sf_dir)
+        .select("fp")
         .groupBy("fp")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
@@ -378,36 +399,43 @@ SENTINEL = 999_999_937  # fill for empty registers (< POLY_P, never a h//m value
 
 
 def q06_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statically unrolled pivot + band folds (r6).  The previous shape
+    built a 16-entry map per doc (map_from_entries) and probed it with
+    element_at — a linear scan per register through the INTERPRETED map
+    evaluator — then folded each band with an interpreted aggregate()
+    HOF.  Both are replaced with whole-stage-codegen expressions: the
+    dense register vector is a 16-way min(when(idx = i)) pivot inside the
+    same aggregation, and each band key is the 4-step polynomial fold
+    written out as plain column arithmetic (same trick as
+    lsh.band_keys' unrolled band list).  Values, oracle, output rows
+    unchanged."""
     regs = q05_oneperm_registers(spark, sf_dir)
-    # dense 16-register vector per doc
+    # dense 16-register vector per doc: unrolled min(when(...)) pivot —
+    # one codegen HashAggregate, no map, no interpreted element_at scan
     dense = regs.groupBy("doc_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("register_idx", "register_value"))
-        ).alias("mm")
-    )
-    vec = dense.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(M_REG - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("mm"), i.cast("long")), F.lit(SENTINEL)
-            ),
-        ).alias("vec"),
-    )
-    n_bands = M_REG // RPR_Q
-    bands = vec.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.aggregate(
-                    F.slice("vec", b * RPR_Q + 1, RPR_Q),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: (acc * F.lit(POLY_TOKEN_B) + (v % F.lit(POLY_P)))
-                    % F.lit(POLY_P),
+        *[
+            F.coalesce(
+                F.min(
+                    F.when(F.col("register_idx") == i, F.col("register_value"))
                 ),
-            )
-        ).alias("band_idx", "band_key"),
+                F.lit(SENTINEL),
+            ).alias(f"_r{i}")
+            for i in range(M_REG)
+        ]
+    )
+
+    def band_key(b: int):
+        acc = F.lit(0).cast("long")
+        for i in range(b * RPR_Q, (b + 1) * RPR_Q):
+            acc = (acc * F.lit(POLY_TOKEN_B) + (F.col(f"_r{i}") % F.lit(POLY_P))) % F.lit(POLY_P)
+        return acc
+
+    n_bands = M_REG // RPR_Q
+    bands = dense.select(
+        "doc_id",
+        F.posexplode(F.array(*[band_key(b) for b in range(n_bands)])).alias(
+            "band_idx", "band_key"
+        ),
     )
     return bands.groupBy(
         F.col("band_idx").cast("long").alias("band_idx"), "band_key"
@@ -733,31 +761,83 @@ def q14_order_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts are never materialized.  Per-key fan-out is #orders of one
     customer containing one part (tiny, skew-safe); the old plan built
     O(orders_per_customer²) pair rows carrying full part arrays."""
-    li = (
-        _scan(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    o = _scan(spark, sf_dir, "orders").select(
+    # r6: one exchange + numpy group kernel instead of the self-join.
+    # The aliased self-join planned the whole distinct+join subtree TWICE
+    # (two lineitem scans, two distinct aggs, two broadcast joins) and
+    # sort-merge-joined the copies on (custkey, partkey): 5 exchanges +
+    # 2 sorts, 2.9 s warm at sf1.0.  Measured floor: computing
+    # (custkey, orderkey, partkey) once — scan + one broadcast probe of
+    # orders — is ~1.0 s, and every SQL grouping shape added 1-4 s on
+    # top (a 6M-key count/collect aggregation builds multimillion-entry
+    # hash maps for ~620 qualifying groups).  Instead: ONE explicit
+    # repartition on (custkey, partkey), then a mapInPandas kernel
+    # (guide §4.2) lexsorts each partition's rows, finds >= 2-row runs,
+    # np.unique-dedups orderkeys per run (the old plan's distinct), and
+    # emits the qualifying pairs — tiny output into a tiny final agg.
+    # Partition row buffering is bounded by the shuffle partition count,
+    # which scales with defaultParallelism.  Not-null guards mirror the
+    # self-join's semantics (no-ops on TPC-H data).
+    import numpy as np
+    import pandas as pd
+
+    li = _scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # orders is only ever a broadcast build side here: read it raw (the
+    # _scan round-robin split would add a useless exchange under the
+    # BroadcastExchange)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey"
     )
-    op = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "o_custkey", "o_orderkey", "l_partkey"
+    op = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .where(F.col("o_custkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select("o_custkey", "o_orderkey", "l_partkey")
     )
-    a = op.alias("a")
-    b = op.alias("b")
+
+    def pair_kernel(batches):
+        cks, oks, pks = [], [], []
+        for pdf in batches:
+            cks.append(pdf["o_custkey"].to_numpy(np.int64))
+            oks.append(pdf["o_orderkey"].to_numpy(np.int64))
+            pks.append(pdf["l_partkey"].to_numpy(np.int64))
+        if not cks:
+            return
+        ck = np.concatenate(cks)
+        ok = np.concatenate(oks)
+        pk = np.concatenate(pks)
+        if len(ck) == 0:
+            return
+        order = np.lexsort((ok, pk, ck))
+        ck, ok, pk = ck[order], ok[order], pk[order]
+        new = np.empty(len(ck), dtype=bool)
+        new[0] = True
+        new[1:] = (ck[1:] != ck[:-1]) | (pk[1:] != pk[:-1])
+        gid = np.cumsum(new) - 1
+        cnt = np.bincount(gid)
+        starts = np.nonzero(new)[0]
+        out_ck, out_a, out_b = [], [], []
+        for g in np.nonzero(cnt >= 2)[0]:
+            s = starts[g]
+            u = np.unique(ok[s : s + cnt[g]])
+            if len(u) < 2:
+                continue
+            ia, ib = np.triu_indices(len(u), 1)
+            out_ck.append(np.full(len(ia), ck[s]))
+            out_a.append(u[ia])
+            out_b.append(u[ib])
+        if out_ck:
+            yield pd.DataFrame(
+                {
+                    "custkey": np.concatenate(out_ck),
+                    "o1": np.concatenate(out_a),
+                    "o2": np.concatenate(out_b),
+                }
+            )
+
+    dp = spark.sparkContext.defaultParallelism
     return (
-        a.join(
-            b,
-            (F.col("a.o_custkey") == F.col("b.o_custkey"))
-            & (F.col("a.l_partkey") == F.col("b.l_partkey"))
-            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
-        )
-        .groupBy(
-            F.col("a.o_custkey").alias("custkey"),
-            F.col("a.o_orderkey").alias("o1"),
-            F.col("b.o_orderkey").alias("o2"),
-        )
+        op.repartition(2 * dp, "o_custkey", "l_partkey")
+        .mapInPandas(pair_kernel, schema="custkey long, o1 long, o2 long")
+        .groupBy("custkey", "o1", "o2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_parts"))
     )
 

@@ -36,7 +36,7 @@ def test_poly_docs_matches_column_folds(spark):
     from sketch_spark.plans import entry_queries as EQ
 
     got = {
-        r.doc_id: (list(r.shingles), list(r.h60))
+        r.doc_id: (list(r.shingles), list(r.h60), r.fp)
         for r in EQ._poly_docs(spark, SF).collect()
     }
     col_sh = {
@@ -48,10 +48,17 @@ def test_poly_docs_matches_column_folds(spark):
     col_h60 = {
         r.doc_id: list(r.h60) for r in EQ._build_h60_expr(spark, SF).collect()
     }
-    assert set(got) == set(col_sh) == set(col_h60)
+    col_fp = {
+        r.doc_id: r.fp
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", T.fingerprint_col(F.col("text")).alias("fp"))
+        .collect()
+    }
+    assert set(got) == set(col_sh) == set(col_h60) == set(col_fp)
     for d in got:
         assert got[d][0] == col_sh[d], d
         assert got[d][1] == col_h60[d], d
+        assert got[d][2] == col_fp[d], d
 
 
 def test_queries_are_ansi_safe(spark):
