@@ -198,12 +198,13 @@ class DedupPipeline:
         cfg = self.cfg
 
         def build():
-            # exploded + codegen min-agg, fused sparse->dense+densify numpy
-            # stage (no map pivot; see one_perm_signature_fast docstring).
-            # All inter-stage exchanges from here on are keyed on the 8-byte
-            # cid, not the string conv_id (conv_table dictionary encoding).
-            ex = conv.select("cid", F.explode("shingles").alias("h"))
-            return minhash.one_perm_signature_fast(ex, "cid", "h", cfg.p)
+            # map-only numpy kernel over conv's per-conversation shingle
+            # arrays: bucket minima + densification in one pass, ZERO
+            # exchanges (r6 — the exploded form re-aggregated per shingle
+            # through two exchanges; parity-tested in test_minhash.py).
+            return minhash.one_perm_signature_from_array_fast(
+                conv.select("cid", "shingles"), "shingles", "cid", cfg.p
+            )
 
         return self.ckpt.run("sig", build)
 

@@ -152,6 +152,68 @@ def one_perm_signature_fast(
     return entries.mapInPandas(gen, schema=f"{group_col} {gtype}, sig array<long>")
 
 
+def one_perm_signature_from_array_fast(
+    df: DataFrame,
+    arr_col: str = "shingles",
+    group_col: str = "cid",
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """one_perm_signature_fast with ZERO exchanges (r6): when the caller
+    already holds one shingle-hash array per group (the conv stage's
+    single groupBy built it), the explode + two grouping exchanges of the
+    exploded form are recomputing an aggregation the data already has.
+    One map-only numpy pass computes bucket minima (sort + reduceat — a
+    np.minimum.at scatter is ~10x slower) and densifies in the same
+    kernel.  Output rows and values are identical to
+    one_perm_signature_fast over the exploded input (parity-tested):
+    groups with an EMPTY array produce no row, matching explode()
+    semantics."""
+    m = 1 << p
+    vb = _value_bits(p)
+    mask = np.uint64((1 << vb) - 1)
+
+    def gen(batches):
+        for pdf in batches:
+            arrs = pdf[arr_col].tolist()
+            n = len(arrs)
+            if n == 0:
+                continue
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+            keep = np.nonzero(lens > 0)[0]
+            if keep.size == 0:
+                continue
+            rows = np.repeat(np.arange(n), lens)
+            h = (
+                np.concatenate([np.asarray(a, dtype=np.int64) for a in arrs])
+                .astype(np.int64)
+                .view(np.uint64)
+            )
+            buckets = (h >> np.uint64(vb)).astype(np.int64)
+            vals = (h & mask).astype(np.int64)
+            # group-min via one sort + minimum.reduceat over run boundaries
+            key = rows * m + buckets
+            order = np.argsort(key, kind="stable")
+            sk, sv = key[order], vals[order]
+            starts = np.nonzero(
+                np.concatenate(([True], sk[1:] != sk[:-1]))
+            )[0]
+            mins = np.minimum.reduceat(sv, starts)
+            uk = sk[starts]
+            mat = np.full((n, m), EMPTY_REG, dtype=np.int64)
+            mat[uk // m, uk % m] = mins
+            empty = mat == EMPTY_REG
+            dense = densify_batch(mat, empty, m)
+            lists = dense[keep].tolist()
+            yield pd.DataFrame(
+                {group_col: pdf[group_col].iloc[keep], "sig": lists}
+            )
+
+    gtype = df.schema[group_col].dataType.simpleString()
+    return df.select(group_col, arr_col).mapInPandas(
+        gen, schema=f"{group_col} {gtype}, sig array<long>"
+    )
+
+
 def one_perm_signature_from_array(
     df: DataFrame,
     arr_col: str = "shingles",

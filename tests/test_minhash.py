@@ -156,6 +156,28 @@ def test_one_perm_fast_equals_two_stage(spark):
     assert r1 == r2
 
 
+def test_one_perm_from_array_fast_equals_exploded(spark):
+    """The r6 map-only array kernel must be row- and value-identical to
+    one_perm_signature_fast over the exploded form, including negative
+    hashes (uint64 bucket shift) and empty arrays (no output row, like
+    explode)."""
+    rng = np.random.default_rng(9)
+    rows = [
+        ("A", sorted({int(v) for v in rng.integers(-(2**63), 2**63, 500, dtype=np.int64)})),
+        ("B", sorted({int(v) for v in rng.integers(-(2**63), 2**63, 3, dtype=np.int64)})),
+        ("C", []),
+        ("D", [7]),
+    ]
+    df = spark.createDataFrame(rows, "cid string, shingles array<long>")
+    ex = df.select("cid", F.explode("shingles").alias("h"))
+    want = {r.cid: r.sig for r in MH.one_perm_signature_fast(ex, "cid", "h", p=6).collect()}
+    got = {
+        r.cid: r.sig
+        for r in MH.one_perm_signature_from_array_fast(df, "shingles", "cid", p=6).collect()
+    }
+    assert got == want and "C" not in got and "A" in got and "D" in got
+
+
 def test_super_minhash_collision_law_and_merge(spark):
     """SuperMinHash (bbmh.h:530-758): register-equality fraction estimates J
     (same collision law as one-perm, lower variance), and element-wise min
