@@ -205,12 +205,24 @@ def train_ivf_centroids(
     sample=None sizes the training set PROPORTIONALLY to the model:
     64 vectors per centroid (VERDICT r3 #6 — a fixed 2,048-row sample
     under-trains anything past ~32 cells; 64x is within FAISS's 39-256x
-    recommended band), capped at 2^22 rows so the driver matrix stays
-    bounded (~2 GB at dim 64).  The update loop is fully vectorized
+    recommended band), capped BY BYTES, not rows (VERDICT r5 #3: the old
+    2^22-row cap was "~2 GB at dim 64", but real embedding dims are 768+
+    — 25-34 GB on the driver at dim 1024 float64).  The dimension is read
+    from one sample row and the cap is rows*dim*8 <= byte_budget
+    (default 2 GiB, SPARK_GRAFT_IVF_TRAIN_BYTES overrides), with the
+    2^22-row ceiling kept on top.  The update loop is fully vectorized
     (chunked argmax + np.add.at scatter) so 10^3+ cells train in seconds.
     """
     if sample is None:
-        sample = min(max(2048, 64 * n_cells), 1 << 22)
+        import os
+
+        budget = int(
+            os.environ.get("SPARK_GRAFT_IVF_TRAIN_BYTES", str(2 << 30))
+        )
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"]) if first is not None and first["d"] else 1
+        by_bytes = max(256, budget // max(dim * 8, 1))
+        sample = min(max(2048, 64 * n_cells), 1 << 22, by_bytes)
     rows = (
         corpus.select(
             F.col(vec_col).alias("v"),

@@ -178,7 +178,14 @@ class DedupPipeline:
         cfg = self.cfg
         if cfg.resume_partitions > 0:
             P = cfg.resume_partitions
-            part = F.pmod(F.xxhash64("conv_id"), F.lit(P)).cast("int")
+            # coalesce(.., 0): pmod(xxhash64(NULL), P) is NULL, which would
+            # match NO bucket and silently drop null-conv_id turns that the
+            # resume_partitions=0 path keeps (r5 ADVICE #2) — route the
+            # null group through bucket 0 in BOTH the turn filter and the
+            # output part column so the two paths agree
+            part = F.coalesce(
+                F.pmod(F.xxhash64("conv_id"), F.lit(P)), F.lit(0)
+            ).cast("int")
 
             def build_parts(missing: list[int]) -> DataFrame:
                 # whole conversations land in one bucket (hash of conv_id),
@@ -186,7 +193,12 @@ class DedupPipeline:
                 # exactly the requested conv partitions
                 src = t.where(part.isin([int(m) for m in missing]))
                 return transcripts.conv_table(src, cfg.shingle_n, cfg.seed)\
-                    .withColumn("_part", F.pmod(F.xxhash64("conv_id"), F.lit(P)).cast("int"))
+                    .withColumn(
+                        "_part",
+                        F.coalesce(
+                            F.pmod(F.xxhash64("conv_id"), F.lit(P)), F.lit(0)
+                        ).cast("int"),
+                    )
 
             out = self.ckpt.run_partitioned("conv", build_parts, P)
             return out.drop("_part")

@@ -193,6 +193,23 @@ class CheckpointManager:
             if os.path.exists(tmp):
                 shutil.rmtree(tmp)
             df.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
+            # builder/writer bucket-assignment contract (r5 ADVICE #1):
+            # any written part value outside the requested `missing` set
+            # would be silently deleted with the tmp tree — a drifted
+            # builder (e.g. hashing a differently-typed id) must fail
+            # loudly instead of dropping rows.
+            written = {
+                d.split("=", 1)[1]
+                for d in os.listdir(tmp)
+                if d.startswith(f"{part_col}=")
+            }
+            stray = written - {str(p) for p in missing}
+            if stray:
+                raise AssertionError(
+                    f"run_partitioned({stage}): builder wrote partition "
+                    f"values outside the requested set: {sorted(stray)[:8]}"
+                    f" vs missing={sorted(missing)[:8]}..."
+                )
             # commit one partition directory per rename; the partial
             # manifest is rewritten after EVERY commit — this loop is the
             # kill-safe region (fault-injection hook for tests below)
@@ -221,7 +238,16 @@ class CheckpointManager:
                         f"injected failure after {moved} partition commits"
                     )
             shutil.rmtree(tmp, ignore_errors=True)
-        out = self.spark.read.parquet(data)
+        # all-partitions-empty input leaves a data dir with no partition
+        # directories; parquet schema inference then fails instead of
+        # returning an empty frame (r5 ADVICE #4) — fall back to the
+        # builder's schema
+        if any(
+            d.startswith(f"{part_col}=") for d in os.listdir(data)
+        ):
+            out = self.spark.read.parquet(data)
+        else:
+            out = self.spark.createDataFrame([], fn([0]).schema)
         rows = out.count()
         extra = counters(out) if counters else {}
         m = {

@@ -61,6 +61,20 @@ def test_poly_docs_matches_column_folds(spark):
         assert got[d][2] == col_fp[d], d
 
 
+def test_q41_stage_dir_from_shared_root(spark, tmp_path, monkeypatch):
+    """The streaming replay's stage dir must derive from a configurable
+    shared root (VERDICT r5 #2: a driver-local tempdir is invisible to
+    executors on a real cluster), and the staging tag must track source
+    content (file sizes/mtimes), not just the path."""
+    from sketch_spark.plans import entry_queries as EQ
+
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path))
+    n = EQ.QUERIES["q41_streaming_windowed_counts"](spark, SF).count()
+    staged = [d for d in os.listdir(tmp_path) if d.startswith("q41_events_")]
+    assert n > 0 and len(staged) == 1
+    assert os.path.exists(os.path.join(tmp_path, staged[0], "_SUCCESS"))
+
+
 def test_queries_are_ansi_safe(spark):
     """The driver owns its session and Spark 4 defaults ANSI on; every
     queries() plan must be overflow-free under strict arithmetic (mod-prime

@@ -754,6 +754,26 @@ def test_ivf_assign_clamps_n_probe_and_empty_corpus_raises(spark):
         )
 
 
+def test_ivf_training_sample_is_byte_bounded(spark, monkeypatch):
+    """VERDICT r5 #3: at high dims the auto training sample must be capped
+    by rows*dim*8 <= SPARK_GRAFT_IVF_TRAIN_BYTES, not by a row count tuned
+    for dim 64.  dim 1024, n_cells=65536: the uncapped rule asks for
+    64*65536 rows (~34 GB); a 100-row byte budget must cut the collect to
+    100 rows (observable as the trained cell count, k = min(cells, rows))."""
+    import numpy as np
+
+    from sketch_spark.operators import ann
+
+    dim = 1024
+    budget_rows = 300  # above the 256-row trainability floor (~2 MB at dim 1024)
+    monkeypatch.setenv("SPARK_GRAFT_IVF_TRAIN_BYTES", str(budget_rows * dim * 8))
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(dim).tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ann.train_ivf_centroids(df, vec_col="embedding", n_cells=65536)
+    assert cents.shape == (budget_rows, dim)
+
+
 def test_srp_and_ivf_preserve_string_ids(spark):
     import numpy as np
 
