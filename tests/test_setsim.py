@@ -185,6 +185,24 @@ def test_dense_ngram_matches_brute(spark, n_blocks):
     assert got == _ngram_brute(rows, 3, 2) and len(got) > 0
 
 
+def test_dense_ngram_non_ascii_fallback_matches_brute(spark):
+    """Non-ASCII texts must drop the group to the factorize path and still
+    match brute force (the ASCII bit-pack path cannot mix code spaces with
+    it inside one group)."""
+    from sketch_spark.operators.setsim import ngram_overlap_dense
+
+    rows = _rand_texts(17, 40, ["x", "y"], alpha="abéд", lo=0, hi=30)
+    rows[2] = (2, "x", "ascii-only text here")  # mixed group
+    df = spark.createDataFrame(rows, "id long, blk string, txt string")
+    got = {
+        (r.a, r.b): (r.n_inter, r.n_a, r.n_b)
+        for r in ngram_overlap_dense(
+            df, "id", "txt", 3, 2, block_col="blk", n_blocks=2
+        ).collect()
+    }
+    assert got == _ngram_brute(rows, 3, 2) and len(got) > 0
+
+
 def test_dense_ngram_scatter_fallback_identical(spark, monkeypatch):
     """Vocab past DENSE_MAX_VOCAB must take the scatter-add path and emit
     byte-identical pairs."""
