@@ -780,10 +780,15 @@ def q14_order_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    li = _scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # orders is only ever a broadcast build side here: read it raw (the
-    # _scan round-robin split would add a useless exchange under the
-    # BroadcastExchange)
+    # both tables read RAW, not through _scan: the explicit repartition
+    # below is this query's (only) parallelizing exchange, so _scan's
+    # round-robin split would be a second full pass of the fact table
+    # (measured: 2.2 s -> 1.5 s at sf0.1, neutral at sf1.0 where the scan
+    # has enough native splits).  The single-split broadcast probe before
+    # the repartition is cheap (narrow, no shuffle).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey"
     )
