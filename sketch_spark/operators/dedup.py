@@ -357,13 +357,22 @@ class DedupPipeline:
         from concurrent.futures import ThreadPoolExecutor
 
         fut_substr = fut_exact = fut_med = None
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with ThreadPoolExecutor(max_workers=4) as pool:
             if self.cfg.enable_substring:
                 fut_substr = pool.submit(self.substr_stage, conv)
             fut_exact = pool.submit(self.exact_stage, conv)
             if self.cfg.use_minhash_prefilter is None:
                 # policy input depends only on conv — overlap it too
                 fut_med = pool.submit(self._median_shingles, conv)
+            # the counters stage's conv census (row count + cid injectivity)
+            # also depends only on conv; precompute it here instead of as a
+            # blocking driver job after cc (same latency-hiding rationale)
+            fut_convagg = pool.submit(
+                lambda: conv.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct("cid").alias("d"),
+                ).collect()[0]
+            )
             sig = self.sig_stage(conv)
             cands = self.cands_stage(sig)
             if self.cfg.use_simhash_verify:
@@ -415,10 +424,17 @@ class DedupPipeline:
                     "canonical_conv_id",
                 )
             )
-            canonical.count()
-            return canonical, iters
+            # one materializing action that also returns the cluster count:
+            # the counters stage previously ran a separate
+            # distinct().count() job over the just-cached table — same
+            # number, one less blocking driver job (pure latency)
+            crow = canonical.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("cluster_id").alias("k"),
+            ).collect()[0]
+            return canonical, iters, int(crow.k)
 
-        canonical, iters = self.ckpt.timed("cc", run_cc)
+        canonical, iters, n_clusters = self.ckpt.timed("cc", run_cc)
         # surface the CC stage in the manifest directory next to the
         # checkpointed stages (non-resumable: labels recompute from the
         # resumed edge stages, so no data dir is written)
@@ -428,9 +444,7 @@ class DedupPipeline:
         # cid dictionary encoding is injective this run (hash ids — see
         # transcripts.conv_table; dense ingest ids replace this at 10^12)
         def run_counters():
-            cr = conv.agg(
-                F.count(F.lit(1)).alias("n"), F.count_distinct("cid").alias("d")
-            ).collect()[0]
+            cr = fut_convagg.result()  # precomputed in the overlap pool
             if int(cr.n) != int(cr.d):
                 raise AssertionError(
                     f"cid collision: {cr.n} convs -> {cr.d} distinct cids; "
@@ -460,7 +474,7 @@ class DedupPipeline:
                     rows("substr", substr) if substr is not None else 0
                 ),
                 "cc_iterations": iters,
-                "clusters": canonical.select("cluster_id").distinct().count(),
+                "clusters": n_clusters,
             }
 
         self.counters = self.ckpt.timed("counters", run_counters)
