@@ -109,6 +109,57 @@ def test_connected_components_long_path(spark):
     assert iters <= 10
 
 
+def test_cc_window_rounds_match_groupby_join_form(spark):
+    # The r6 one-exchange window form of _large_star/_small_star must
+    # emit the IDENTICAL per-round edge set as the original groupBy+join
+    # form — that set drives the convergence signature, so equality here
+    # pins both the labels and the cc_iterations counter.
+    from sketch_spark.operators.cc import _large_star, _small_star
+
+    def large_ref(edges):
+        e2 = edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = e2.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        return (
+            e2.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_ref(edges):
+        e = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).where(F.col("u") != F.col("v"))
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            e.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    # mixed shapes: clique, path, star, singleton pair (ids chosen so
+    # component minima differ between rounds)
+    edges = (
+        [(1, 2), (1, 3), (2, 3)]
+        + [(10 + i, 11 + i) for i in range(6)]
+        + [(30, k) for k in (31, 32, 33, 34)]
+        + [(50, 51)]
+    )
+    df = spark.createDataFrame(edges, "u long, v long")
+    cur_new, cur_ref = df, df
+    for _round in range(4):
+        cur_new = _small_star(_large_star(cur_new))
+        cur_ref = small_ref(large_ref(cur_ref))
+        got = sorted((r.u, r.v) for r in cur_new.collect())
+        want = sorted((r.u, r.v) for r in cur_ref.collect())
+        assert got == want, f"round {_round}: {got} != {want}"
+
+
 def test_hot_bucket_routing_bit_identical(spark):
     """Pairs must be identical whether a bucket is routed through the
     array (collect_list) path or the window-rank hot path — the routing
